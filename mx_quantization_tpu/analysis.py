@@ -1,0 +1,73 @@
+"""Top-k pruning quality analysis tools.
+
+First-class re-implementation of the reference's --anal instrumentation
+(/root/reference/funcs/analysis.py:36-191): softmax-mass recall of the
+predicted top-k against the true top-k, and unique-coverage statistics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def total_chosen_k(idx: jax.Array) -> jax.Array:
+    """Average number of DISTINCT keys chosen per (batch, head) across all
+    query rows (reference total_chosen_k, funcs/analysis.py:56-110).
+
+    idx: (..., N, k) selected indices.  Returns scalar mean unique count.
+    """
+    *lead, N, K = idx.shape
+    flat = idx.reshape((-1, N * K))
+
+    def count_unique(row):
+        s = jnp.sort(row)
+        return 1 + jnp.sum(s[1:] != s[:-1])
+
+    counts = jax.vmap(count_unique)(flat)
+    return jnp.mean(counts.astype(jnp.float32))
+
+
+def diff_idx_analysis(true_vals: jax.Array, pred_vals: jax.Array) -> jax.Array:
+    """Softmax-mass recall: sum of softmax probability captured by the
+    predicted indices relative to the true top-k mass (reference
+    diff_idx_analysis, funcs/analysis.py:136-157).
+
+    true_vals: softmax probs gathered at the TRUE top-k indices.
+    pred_vals: softmax probs gathered at the PREDICTED top-k indices.
+    Returns mean over rows of (pred mass / true mass).
+    """
+    t = jnp.sum(true_vals, axis=-1)
+    p = jnp.sum(pred_vals, axis=-1)
+    return jnp.mean(p / jnp.maximum(t, 1e-12))
+
+
+def attention_prediction_quality(true_scores: jax.Array, idx: jax.Array,
+                                 k: int) -> Dict[str, float]:
+    """One-shot quality report for a predicted index set."""
+    post = jax.nn.softmax(true_scores, axis=-1)
+    pred_mass = jnp.take_along_axis(post, idx, axis=-1)
+    true_top, _ = jax.lax.top_k(post, k)
+    return {
+        "softmax_recall": float(diff_idx_analysis(true_top, pred_mass)),
+        "avg_chosen_k": float(total_chosen_k(idx)),
+    }
+
+
+class AnalysisWriter:
+    """Per-block/timestep JSONL writer (replaces the reference's per-file
+    text dumps, funcs/analysis.py:36-54)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def write(self, record: dict, name: str = "topk_analysis"):
+        path = os.path.join(self.out_dir, f"{name}.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")

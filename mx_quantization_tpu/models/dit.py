@@ -1,0 +1,295 @@
+"""DiT (Diffusion Transformer) with MX quantization + top-k attention.
+
+TPU-native re-implementation of the reference's MX-integrated DiT
+(workloads/DiT/models.py:104-563): adaLN-Zero blocks, timestep/label
+embedders, CFG forward, 12 size factories.  Key behavioral contracts kept:
+
+  * attention flow identical to DeiT's QuantizedAttention plus the
+    ``exclude_timesteps`` gate (models.py:172) — here the sampling loop passes
+    the step index explicitly instead of a mutable counter (jit-friendly).
+  * ``exclude_blocks`` turns OFF top-k and prediction for those blocks
+    (models.py:370-372) — attention stays MX-quantized dense.
+  * DiTBlock's adaLN modulation stays unquantized (models.py:293-296);
+    FinalLayer's modulation and projection are quantized (models.py:303-308).
+  * CFG applied to the first 3 channels only (models.py:452-476).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attention import TopKAttentionConfig, topk_attention
+from ..ops import conv2d, linear
+from ..specs import MxSpecs
+from .common import Params, conv_init, linear_init, zeros_linear
+from .stacked import run_blocks, stack_blocks
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    input_size: int = 32
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    learn_sigma: bool = True
+    class_dropout_prob: float = 0.1
+
+    @property
+    def out_channels(self):
+        return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+    @property
+    def num_patches(self):
+        return (self.input_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTQuantConfig:
+    """Quantization plan (reference DiT ctor args, models.py:319-381)."""
+    mx_specs: Optional[MxSpecs] = None
+    mx_quant: bool = False
+    top_k: bool = False
+    k: int = 20
+    ex_pred: bool = True
+    pred_mode: str = "ex_pred"
+    exclude_blocks: Tuple[int, ...] = ()
+    exclude_timesteps: Tuple[int, ...] = ()
+    sparse_impl: str = "dense"
+
+    def block_attn_cfg(self, idx: int,
+                       timestep_idx: Optional[int]) -> TopKAttentionConfig:
+        if not self.mx_quant or self.mx_specs is None:
+            return TopKAttentionConfig(mx_quant=False)
+        top_k = self.top_k and idx not in self.exclude_blocks
+        if timestep_idx is not None and timestep_idx in self.exclude_timesteps:
+            top_k = False
+        approx = self.ex_pred and idx not in self.exclude_blocks
+        return TopKAttentionConfig(
+            mx_quant=True, top_k=top_k, k=self.k, approx_flag=approx,
+            pred_mode=self.pred_mode, sparse_impl=self.sparse_impl)
+
+
+# ----------------------------------------------------------------------
+# sin/cos position embedding (reference models.py:484-530)
+# ----------------------------------------------------------------------
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
+    def emb_1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0).reshape(
+        [2, 1, grid_size, grid_size])
+    emb = np.concatenate([emb_1d(embed_dim // 2, grid[0]),
+                          emb_1d(embed_dim // 2, grid[1])], axis=1)
+    return emb.astype(np.float32)
+
+
+def timestep_embedding(t: jax.Array, dim: int,
+                       max_period: int = 10000) -> jax.Array:
+    """Sinusoidal timestep embedding (reference models.py:45-64)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) *
+                    jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def modulate(x, shift, scale):
+    return x * (1 + scale[:, None]) + shift[:, None]
+
+
+# ----------------------------------------------------------------------
+def init_dit(key: jax.Array, cfg: DiTConfig) -> Params:
+    """Parameter init mirroring reference initialize_weights (models.py:385-420):
+    xavier linears, zeroed adaLN modulations and final projection, sincos
+    pos-embed, normal(0.02) embedding tables."""
+    keys = jax.random.split(key, cfg.depth + 10)
+    hs = cfg.hidden_size
+
+    def xavier_linear(k, in_f, out_f):
+        limit = math.sqrt(6.0 / (in_f + out_f))
+        return {"weight": jax.random.uniform(k, (out_f, in_f), jnp.float32,
+                                             -limit, limit),
+                "bias": jnp.zeros((out_f,))}
+
+    p: Params = {}
+    pk = jax.random.split(keys[0], 2)
+    limit = math.sqrt(6.0 / (cfg.patch_size ** 2 * cfg.in_channels + hs))
+    p["x_embedder"] = {
+        "weight": jax.random.uniform(
+            pk[0], (hs, cfg.in_channels, cfg.patch_size, cfg.patch_size),
+            jnp.float32, -limit, limit),
+        "bias": jnp.zeros((hs,)),
+    }
+    p["pos_embed"] = jnp.asarray(get_2d_sincos_pos_embed(
+        hs, int(cfg.num_patches ** 0.5)))[None]
+    tk = jax.random.split(keys[1], 2)
+    p["t_embedder"] = {
+        "mlp0": {"weight": 0.02 * jax.random.normal(tk[0], (hs, 256)),
+                 "bias": jnp.zeros((hs,))},
+        "mlp2": {"weight": 0.02 * jax.random.normal(tk[1], (hs, hs)),
+                 "bias": jnp.zeros((hs,))},
+    }
+    n_embed = cfg.num_classes + (1 if cfg.class_dropout_prob > 0 else 0)
+    p["y_embedder"] = {
+        "table": 0.02 * jax.random.normal(keys[2], (n_embed, hs))}
+
+    hidden = int(hs * cfg.mlp_ratio)
+    blocks = []
+    for i in range(cfg.depth):
+        bk = jax.random.split(keys[3 + i], 5)
+        blocks.append({
+            "attn": {"qkv": xavier_linear(bk[0], hs, 3 * hs),
+                     "proj": xavier_linear(bk[1], hs, hs)},
+            "mlp": {"fc1": xavier_linear(bk[2], hs, hidden),
+                    "fc2": xavier_linear(bk[3], hidden, hs)},
+            "adaLN": zeros_linear(hs, 6 * hs),
+        })
+    # blocks stored STACKED (leading depth axis) so homogeneous runs can
+    # lax.scan — see models/stacked.py.
+    p["blocks"] = stack_blocks(blocks)
+    p["final_layer"] = {
+        "adaLN": zeros_linear(hs, 2 * hs),
+        "linear": zeros_linear(hs, cfg.patch_size ** 2 * cfg.out_channels),
+    }
+    return p
+
+
+# ----------------------------------------------------------------------
+def dit_attention(p: Params, x: jax.Array, cfg: DiTConfig,
+                  specs: Optional[MxSpecs], attn_cfg: TopKAttentionConfig,
+                  orthogonal_matrix=None) -> jax.Array:
+    B, N, C = x.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    mxs = specs if attn_cfg.mx_quant else None
+    qkv = linear(x, p["qkv"]["weight"], p["qkv"].get("bias"), mx_specs=mxs)
+    qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    out, _ = topk_attention(q, k, v, D ** -0.5, mxs, attn_cfg,
+                            orthogonal_matrix=orthogonal_matrix)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    return linear(out, p["proj"]["weight"], p["proj"].get("bias"),
+                  mx_specs=mxs)
+
+
+def _ln(x, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
+                cfg: DiTConfig, qcfg: DiTQuantConfig,
+                timestep_idx: Optional[int] = None,
+                orthogonal_matrix=None) -> jax.Array:
+    """(B, C, H, W) latents + (B,) timesteps + (B,) labels -> (B, outC, H, W)."""
+    B = x.shape[0]
+    hs = cfg.hidden_size
+    specs = qcfg.mx_specs if qcfg.mx_quant else None
+
+    pe = params["x_embedder"]
+    x = conv2d(x, pe["weight"], pe.get("bias"), stride=cfg.patch_size,
+               mx_specs=None)  # reference keeps PatchEmbed unquantized
+    x = x.reshape(B, hs, -1).transpose(0, 2, 1) + params["pos_embed"]
+
+    te = params["t_embedder"]
+    t_emb = timestep_embedding(t, 256)
+    t_emb = linear(t_emb, te["mlp0"]["weight"], te["mlp0"]["bias"])
+    t_emb = jax.nn.silu(t_emb)
+    t_emb = linear(t_emb, te["mlp2"]["weight"], te["mlp2"]["bias"])
+    y_emb = params["y_embedder"]["table"][y]
+    c = t_emb + y_emb
+
+    def block_body(bp, attn_cfg, x):
+        mxs = specs if attn_cfg.mx_quant else None
+        mod = linear(jax.nn.silu(c), bp["adaLN"]["weight"],
+                     bp["adaLN"]["bias"])
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+        h = modulate(_ln(x), shift_msa, scale_msa)
+        x = x + gate_msa[:, None] * dit_attention(
+            bp["attn"], h, cfg, specs, attn_cfg, orthogonal_matrix)
+        h = modulate(_ln(x), shift_mlp, scale_mlp)
+        h = linear(h, bp["mlp"]["fc1"]["weight"], bp["mlp"]["fc1"]["bias"],
+                   mx_specs=mxs)
+        h = jax.nn.gelu(h, approximate=True)  # reference GELU(tanh)
+        h = linear(h, bp["mlp"]["fc2"]["weight"], bp["mlp"]["fc2"]["bias"],
+                   mx_specs=mxs)
+        return x + gate_mlp[:, None] * h
+
+    attn_cfgs = [qcfg.block_attn_cfg(i, timestep_idx)
+                 for i in range(cfg.depth)]
+    x = run_blocks(params["blocks"], attn_cfgs, block_body, x)
+
+    fl = params["final_layer"]
+    mxs = specs
+    mod = linear(jax.nn.silu(c), fl["adaLN"]["weight"], fl["adaLN"]["bias"],
+                 mx_specs=mxs)
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    x = modulate(_ln(x), shift, scale)
+    x = linear(x, fl["linear"]["weight"], fl["linear"]["bias"], mx_specs=mxs)
+
+    # unpatchify
+    c_out = cfg.out_channels
+    psz = cfg.patch_size
+    hgrid = wgrid = int(x.shape[1] ** 0.5)
+    x = x.reshape(B, hgrid, wgrid, psz, psz, c_out)
+    x = jnp.einsum("nhwpqc->nchpwq", x)
+    return x.reshape(B, c_out, hgrid * psz, wgrid * psz)
+
+
+def dit_forward_with_cfg(params, x, t, y, cfg, qcfg, cfg_scale,
+                         timestep_idx=None, orthogonal_matrix=None):
+    """CFG forward on duplicated batch, guidance on first 3 channels only
+    (reference models.py:452-476)."""
+    half = x[: len(x) // 2]
+    combined = jnp.concatenate([half, half], axis=0)
+    out = dit_forward(params, combined, t, y, cfg, qcfg, timestep_idx,
+                      orthogonal_matrix)
+    eps, rest = out[:, :3], out[:, 3:]
+    cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+    half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+    eps = jnp.concatenate([half_eps, half_eps], axis=0)
+    return jnp.concatenate([eps, rest], axis=1)
+
+
+# ----------------------------------------------------------------------
+def _mk(depth, hidden, patch, heads):
+    def factory(input_size=32, **kw):
+        return DiTConfig(input_size=input_size, patch_size=patch,
+                         hidden_size=hidden, depth=depth, num_heads=heads,
+                         **kw)
+    return factory
+
+
+DiT_models = {
+    "DiT-XL/2": _mk(28, 1152, 2, 16), "DiT-XL/4": _mk(28, 1152, 4, 16),
+    "DiT-XL/8": _mk(28, 1152, 8, 16),
+    "DiT-L/2": _mk(24, 1024, 2, 16), "DiT-L/4": _mk(24, 1024, 4, 16),
+    "DiT-L/8": _mk(24, 1024, 8, 16),
+    "DiT-B/2": _mk(12, 768, 2, 12), "DiT-B/4": _mk(12, 768, 4, 12),
+    "DiT-B/8": _mk(12, 768, 8, 12),
+    "DiT-S/2": _mk(12, 384, 2, 6), "DiT-S/4": _mk(12, 384, 4, 6),
+    "DiT-S/8": _mk(12, 384, 8, 6),
+}

@@ -1,0 +1,138 @@
+"""Pallas kernel: MX block fake-quantization along the last axis.
+
+TPU-native equivalent of the reference's innermost-axis CUDA kernel
+(microxscaling/mx/cpp/mx.cuh:57-91 quantize_mx_innermost_cuda_kernel): per
+32-element block, max-|x| -> shared exponent -> scale -> round-to-format ->
+rescale.  The warp __shfl_xor butterfly max maps to a lane-local reshape-max
+on the VPU; the exponent extraction and power-of-two scales use integer bit
+manipulation (exact, no transcendentals).
+
+This kernel serves the ``custom_tpu="fused"`` fast path for int formats
+(int8/int4/int2) with round="nearest" — the reference's operating points.
+The general emulation path (ops/mx.py) remains the bit-exact oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...formats import format_params
+
+
+def _quantize_block_values(x, block_size: int, mbits: int, scale_bits: int,
+                           out_dtype):
+    """Vectorized in-kernel MX quantization of x (.., K) over 32-blocks.
+
+    Uses bit-level exponent extraction and bitcast-constructed power-of-two
+    scales so no transcendental is involved; rounding is the reference's
+    "nearest" (half away from zero).  TPU flushes fp32 subnormals — blocks
+    whose max is subnormal quantize to zero, which is what the flushed
+    arithmetic produces naturally.
+    """
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    nb = K // block_size
+    xb = x.reshape(orig_shape[:-1] + (nb, block_size))
+
+    # exact max|x| per block via monotonic integer bit patterns
+    bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
+    mb = jnp.max(bits, axis=-1, keepdims=True)
+    # shared exponent (floor(log2 max)), emax offset is 0 for int formats
+    e = (mb >> 23) - 127
+    scale_emax = 2 ** (scale_bits - 1) - 1
+    e = jnp.clip(e, -scale_emax, scale_emax)
+
+    # 2^-e and 2^(e) built by bit assembly (exact)
+    inv_scale = jax.lax.bitcast_convert_type(
+        ((-e + 127) << 23).astype(jnp.int32), jnp.float32)
+    scale = jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+
+    half = float(2 ** (mbits - 2))
+    qmax = float(2 ** (mbits - 1) - 1)
+    scaled = xb * inv_scale * half
+    q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+    q = jnp.clip(q, -qmax, qmax)
+    out = q * scale * (1.0 / half)
+    return out.reshape(orig_shape).astype(out_dtype)
+
+
+def _quantize_block_values_axis0(x, block_size: int, mbits: int,
+                                 scale_bits: int, out_dtype):
+    """Same as _quantize_block_values but blocks along axis 0 of a 2D x
+    (K, N) — the layout of the second matmul operand.  Avoids an in-kernel
+    transpose."""
+    K, N = x.shape
+    nb = K // block_size
+    xb = x.reshape(nb, block_size, N)
+
+    bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
+    mb = jnp.max(bits, axis=1, keepdims=True)
+    e = (mb >> 23) - 127
+    scale_emax = 2 ** (scale_bits - 1) - 1
+    e = jnp.clip(e, -scale_emax, scale_emax)
+
+    inv_scale = jax.lax.bitcast_convert_type(
+        ((-e + 127) << 23).astype(jnp.int32), jnp.float32)
+    scale = jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+
+    half = float(2 ** (mbits - 2))
+    qmax = float(2 ** (mbits - 1) - 1)
+    scaled = xb * inv_scale * half
+    q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+    q = jnp.clip(q, -qmax, qmax)
+    out = q * scale * (1.0 / half)
+    return out.reshape(K, N).astype(out_dtype)
+
+
+def _quantize_kernel(x_ref, o_ref, *, block_size, mbits, scale_bits,
+                     out_dtype):
+    o_ref[:] = _quantize_block_values(x_ref[:], block_size, mbits,
+                                      scale_bits, out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
+                                             "scale_bits", "out_dtype",
+                                             "tile_rows"))
+def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
+                       block_size: int = 32, scale_bits: int = 8,
+                       out_dtype=jnp.bfloat16, tile_rows: int = 256):
+    """Quantize x along its last axis to the MX grid (values, not packed).
+
+    x: (..., K) fp32/bf16, K % block_size == 0.  Returns same shape in
+    ``out_dtype`` (bf16 holds every MXINT8 grid point exactly).
+    """
+    ebits, mbits, emax, _, _ = format_params(elem_format)
+    assert ebits == 0, "fused kernel supports int element formats"
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    assert K % block_size == 0, (K, block_size)
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    M = x2.shape[0]
+
+    tm = min(tile_rows, M)
+    # pad rows to a multiple of the tile
+    pad = (-M) % tm
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_quantize_kernel, block_size=block_size,
+                          mbits=mbits, scale_bits=scale_bits,
+                          out_dtype=out_dtype),
+        grid=((M + pad) // tm,),
+        in_specs=[pl.BlockSpec((tm, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tm, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((M + pad), K), out_dtype),
+    )(x2)
+    if pad:
+        out = out[:M]
+    return out.reshape(orig_shape)

@@ -1,0 +1,207 @@
+"""Op-level tests: unquantized fallthrough, quantized forward/backward
+consistency, attention/predictor shapes and semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mx_quantization_tpu import MxSpecs, finalize_mx_specs
+from mx_quantization_tpu.ops import (bmm, gelu, layer_norm, linear, matmul,
+                                     relu, rms_norm, silu, softmax, conv2d)
+from mx_quantization_tpu.attention import TopKAttentionConfig, topk_attention
+from mx_quantization_tpu.predictors import exponent_predict
+from mx_quantization_tpu.predictors.elsa import (
+    create_structured_orthogonal_matrix)
+
+INT8_SPECS = finalize_mx_specs(dict(
+    w_elem_format="int8", a_elem_format="int8", scale_bits=8, block_size=32,
+    bfloat=0, quantize_backprop=False))
+
+BF16_SPECS = finalize_mx_specs(dict(
+    w_elem_format="int8", a_elem_format="int8", scale_bits=8, block_size=32,
+    bfloat=16, round="even", quantize_backprop=True))
+
+
+def rand(*shape, seed=0, scale=1.0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+
+# ----------------------------------------------------------------------
+def test_linear_unquantized_matches_plain():
+    x, w, b = rand(4, 32, seed=1), rand(16, 32, seed=2), rand(16, seed=3)
+    out = linear(x, w, b, mx_specs=None)
+    ref = x @ w.T + b
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_linear_noquant_specs_equals_exact():
+    # specs with no formats => quantization is a no-op
+    specs = MxSpecs().finalize()
+    x, w = rand(4, 32, seed=1), rand(16, 32, seed=2)
+    out = linear(x, w, None, mx_specs=specs)
+    ref = x @ w.T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_linear_int8_close_to_fp():
+    x, w = rand(8, 64, seed=1), rand(32, 64, seed=2)
+    out = linear(x, w, None, mx_specs=INT8_SPECS)
+    ref = x @ w.T
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    rel = err / np.abs(np.asarray(ref)).max()
+    assert rel < 0.05, rel  # int8 block quant keeps ~2 decimal digits
+
+
+def test_linear_grad_noquant_backprop():
+    # quantize_backprop=False: gradients equal exact-linear gradients of the
+    # saved unquantized tensors (reference linear.py:105-206 with bp None)
+    x, w = rand(6, 32, seed=4), rand(8, 32, seed=5)
+
+    def f(x, w):
+        return jnp.sum(linear(x, w, None, mx_specs=INT8_SPECS) ** 2)
+
+    gx, gw = jax.grad(f, argnums=(0, 1))(x, w)
+    out = linear(x, w, None, mx_specs=INT8_SPECS)
+    # exact-gradient chain: d/dx sum(out^2) = 2*out @ w, d/dw = (2*out)^T @ x
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(2 * out @ w),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(2 * out.T @ x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_modes_and_bmm():
+    a, b = rand(2, 4, 16, 64, seed=6), rand(2, 4, 64, 16, seed=7)
+    for mode in ("aa", "aw", "wa"):
+        out = matmul(a, b, mx_specs=INT8_SPECS, mode_config=mode)
+        assert out.shape == (2, 4, 16, 16)
+    out = bmm(a, b, mx_specs=INT8_SPECS)
+    ref = jnp.matmul(a, b)
+    rel = (jnp.abs(out - ref).max() / jnp.abs(ref).max()).item()
+    assert rel < 0.05
+
+
+def test_softmax_matches_jax_when_unquantized():
+    x = rand(3, 5, 17, seed=8)
+    specs = finalize_mx_specs(dict(bfloat=32, a_elem_format="int8"),
+                              early_exit=False)
+    out = softmax(x, dim=-1, mx_specs=specs)
+    ref = jax.nn.softmax(x, axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    rows = np.asarray(out).sum(-1)
+    np.testing.assert_allclose(rows, np.ones_like(rows), atol=1e-5)
+
+
+def test_softmax_exp2_grad():
+    specs = finalize_mx_specs(dict(bfloat=16, round="even", softmax_exp2=True,
+                                   a_elem_format="int8"))
+    x = rand(4, 9, seed=9)
+    g = jax.grad(lambda t: jnp.sum(softmax(t, -1, specs) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_activations_shapes_and_grads():
+    x = rand(5, 33, seed=10)
+    for fn, ref in ((gelu, jax.nn.gelu), (silu, jax.nn.silu),
+                    (relu, jax.nn.relu)):
+        out = fn(x, mx_specs=BF16_SPECS)
+        refv = ref(x)
+        assert jnp.abs(out - refv).max() < 0.05
+        g = jax.grad(lambda t: jnp.sum(fn(t, mx_specs=BF16_SPECS)))(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_layer_norm_and_rms_norm():
+    x = rand(4, 7, 64, seed=11)
+    w, b = jnp.ones(64), jnp.zeros(64)
+    out = layer_norm(x, w, b, eps=1e-6, mx_specs=BF16_SPECS)
+    ref = layer_norm(x, w, b, eps=1e-6, mx_specs=None)
+    assert jnp.abs(out - ref).max() < 0.05
+    out = rms_norm(x, w, b, eps=1e-6, mx_specs=BF16_SPECS)
+    ref = rms_norm(x, w, b, eps=1e-6, mx_specs=None)
+    assert jnp.abs(out - ref).max() < 0.05
+    g = jax.grad(lambda t: jnp.sum(
+        layer_norm(t, w, b, 1e-6, BF16_SPECS) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_conv2d_patch_embed():
+    x = rand(2, 3, 32, 32, seed=12)
+    w = rand(8, 3, 16, 16, seed=13, scale=0.1)
+    b = rand(8, seed=14, scale=0.1)
+    out = conv2d(x, w, b, stride=16, mx_specs=INT8_SPECS)
+    ref = conv2d(x, w, b, stride=16, mx_specs=None)
+    assert out.shape == (2, 8, 2, 2)
+    rel = (jnp.abs(out - ref).max() / jnp.abs(ref).max()).item()
+    assert rel < 0.05
+
+
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("mode", ["ex_pred", "partial_Q", "partial_K",
+                                  "two_step_leading_ones", "MXINT4",
+                                  "true_ex", "threshold_ex"])
+def test_exponent_predictors(mode):
+    q, k = rand(2, 3, 16, 64, seed=15), rand(2, 3, 16, 64, seed=16)
+    aq, ak = exponent_predict(q, k, INT8_SPECS, mode)
+    assert aq.shape == q.shape and ak.shape == k.shape
+    assert np.isfinite(np.asarray(aq)).all()
+    if mode == "ex_pred":
+        # pure powers of two, signs preserved for nonzero inputs
+        av = np.abs(np.asarray(aq))
+        exps = np.log2(av)
+        np.testing.assert_allclose(exps, np.round(exps), atol=0)
+
+
+def test_ex_pred_ranks_correlate_with_true_scores():
+    # predictor must correlate with true scores (that's its whole job)
+    q, k = rand(1, 1, 64, 64, seed=17), rand(1, 1, 64, 64, seed=18)
+    aq, ak = exponent_predict(q, k, INT8_SPECS, "ex_pred")
+    pred = np.asarray(aq @ np.swapaxes(np.asarray(ak), -1, -2))[0, 0]
+    true = np.asarray(q @ jnp.swapaxes(k, -1, -2))[0, 0]
+    from scipy.stats import spearmanr
+    rho = spearmanr(pred.ravel(), true.ravel()).statistic
+    assert rho > 0.5, rho
+
+
+def test_elsa_orthogonal_matrix():
+    for d in (64, 72):
+        m = create_structured_orthogonal_matrix(d)
+        np.testing.assert_allclose(m @ m.T, np.eye(d), atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["dense", "gather"])
+def test_topk_attention(impl):
+    q = rand(2, 4, 32, 64, seed=19)
+    k = rand(2, 4, 32, 64, seed=20)
+    v = rand(2, 4, 32, 64, seed=21)
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=8,
+                              approx_flag=True, pred_mode="ex_pred",
+                              sparse_impl=impl)
+    out, idx = topk_attention(q, k, v, 0.125, INT8_SPECS, cfg)
+    assert out.shape == v.shape
+    assert idx.shape == (2, 4, 32, 8)
+    # sanity against full attention: top-k with k=N should equal no-topk
+    cfg_full = TopKAttentionConfig(mx_quant=True, top_k=True, k=32,
+                                   approx_flag=False, sparse_impl="dense")
+    out_full, _ = topk_attention(q, k, v, 0.125, INT8_SPECS, cfg_full)
+    cfg_none = TopKAttentionConfig(mx_quant=True, top_k=False)
+    out_none, _ = topk_attention(q, k, v, 0.125, INT8_SPECS, cfg_none)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_none),
+                               atol=1e-6)
+
+
+def test_topk_attention_elsa_and_bias():
+    q = rand(1, 2, 16, 64, seed=22)
+    k = rand(1, 2, 10, 64, seed=23)
+    v = rand(1, 2, 10, 64, seed=24)
+    bias = jnp.where(jnp.arange(10) < 8, 0.0, -1e4)[None, None, None, :]
+    m = jnp.asarray(create_structured_orthogonal_matrix(64))
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=4,
+                              approx_flag=True, pred_mode="ELSA")
+    out, idx = topk_attention(q, k, v, 0.125, INT8_SPECS, cfg,
+                              orthogonal_matrix=m, bias=bias)
+    assert out.shape == (1, 2, 16, 64)
+    # masked-out keys (>=8) must never be selected
+    assert (np.asarray(idx) < 8).all()
