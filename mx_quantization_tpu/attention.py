@@ -54,6 +54,12 @@ def predict_scores(q, k, mx_specs: MxSpecs, pred_mode: str,
         return ElsaApproximation(q, k, mx_specs,
                                  orthogonal_matrix).approximation_scores()
     aq, ak = exponent_predict(q, k, mx_specs, pred_mode)
+    if mx_specs.custom_tpu == "fused":
+        # predictor values are sign * power-of-two (bf16-exact); the score
+        # only ranks, so a 1-pass bf16 MXU matmul is exact enough
+        return jnp.matmul(aq.astype(jnp.bfloat16),
+                          jnp.swapaxes(ak, -1, -2).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
     return jnp.matmul(aq, jnp.swapaxes(ak, -1, -2),
                       precision=jax.lax.Precision.HIGHEST)
 
@@ -65,6 +71,31 @@ def _sparse_softmax_scatter(true_scores, idx):
     p = jax.nn.softmax(vals, axis=-1)
     attn = jnp.zeros_like(true_scores)
     return jnp.put_along_axis(attn, idx, p, axis=-1, inplace=False)
+
+
+def _topk_mask(scores, k: int):
+    """Boolean mask of each row's top-k entries with jax.lax.top_k tie
+    semantics (lowest index wins), built from sort + cumsum — no
+    scatter/gather, so it runs at VPU speed on TPU."""
+    n = scores.shape[-1]
+    kth = jnp.sort(scores, axis=-1)[..., n - k][..., None]
+    gt = scores > kth
+    n_gt = jnp.sum(gt, axis=-1, keepdims=True)
+    eq = scores == kth
+    eq_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1)
+    return gt | (eq & (eq_rank <= k - n_gt))
+
+
+def _sparse_softmax_threshold(true_scores, pred_scores, k: int):
+    """Dense top-k-masked softmax: selects the same entries as
+    top_k(pred)+gather+scatter but with purely elementwise ops — the TPU
+    fast path (scatter serializes on TPU and dominated the profile)."""
+    sel = _topk_mask(pred_scores, k)
+    neg = jnp.finfo(true_scores.dtype).min
+    masked = jnp.where(sel, true_scores, neg)
+    m = jnp.max(masked, axis=-1, keepdims=True)
+    e = jnp.where(sel, jnp.exp(true_scores - m), 0.0)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
 def topk_attention(
@@ -107,14 +138,22 @@ def topk_attention(
                               orthogonal_matrix)
         if bias is not None:
             pred = pred + bias
-        _, idx = jax.lax.top_k(pred, cfg.k)
+        selector = pred
     else:
-        _, idx = jax.lax.top_k(true_scores, cfg.k)
+        selector = true_scores
 
+    fused = mx_specs.custom_tpu == "fused"
     if cfg.sparse_impl == "dense":
-        attn = _sparse_softmax_scatter(true_scores, idx)
+        if fused:
+            # scatter-free masked softmax (same selection, VPU-speed)
+            attn = _sparse_softmax_threshold(true_scores, selector, cfg.k)
+            idx = None
+        else:
+            _, idx = jax.lax.top_k(selector, cfg.k)
+            attn = _sparse_softmax_scatter(true_scores, idx)
         out = matmul(attn, v, mx_specs=mx_specs, mode_config="aa")
     elif cfg.sparse_impl == "gather":
+        _, idx = jax.lax.top_k(selector, cfg.k)
         out = _gathered_sparse_attention(true_scores, idx, v, mx_specs)
     else:
         raise ValueError(f"Unknown sparse_impl {cfg.sparse_impl!r}")

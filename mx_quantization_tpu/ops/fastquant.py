@@ -1,0 +1,90 @@
+"""Fast float-domain MX quantization for the TPU serving path.
+
+``custom_tpu="fused"`` tier-1: pure-XLA ops (reshape / integer-bits max /
+bitcast power-of-two scales / round-half-away) that XLA fuses into one VPU
+pass, feeding bf16 MXU matmuls.  Numerics match the bit-exact emulation
+(ops/mx.py) for all normal-range fp32 inputs; fp32-subnormal inputs flush
+(TPU flushes them in arithmetic anyway) — the emulation path remains the
+oracle for bit-level parity.
+
+Covers the reference's operating points: int8/int4/int2 elem formats,
+shared_exp_method="max", round="nearest", scale_bits=8, block 32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..formats import format_params
+
+_INT_FMTS = ("int8", "int4", "int2")
+
+
+def fused_eligible(specs, *fmts) -> bool:
+    """Can these specs take the fast path for the given element formats?"""
+    if specs is None or specs.custom_tpu != "fused":
+        return False
+    if any(f not in _INT_FMTS for f in fmts):
+        return False
+    return (specs.shared_exp_method == "max"
+            and not specs.mx_flush_fp32_subnorms
+            and (specs.round_mx_output or "nearest") == "nearest"
+            and specs.fp == 0 and specs.bfloat in (0, 16, 32)
+            and specs.block_size > 0)
+
+
+def bf_fast(x, specs):
+    """Fast elementwise format: bfloat16 -> RNE cast; 0/32 -> identity."""
+    if specs.bfloat == 16:
+        return x.astype(jnp.bfloat16).astype(x.dtype)
+    return x
+
+
+def quantize_mx_fast(x: jax.Array, elem_format: str, block_size: int,
+                     scale_bits: int = 8, axis: int = -1,
+                     out_dtype=jnp.bfloat16) -> jax.Array:
+    """MX fake-quantize along ``axis`` (last or any), float-domain.
+
+    Returns the quantized values in ``out_dtype`` (bf16 exact for int grids).
+    """
+    ebits, mbits, emax, _, _ = format_params(elem_format)
+    assert ebits == 0
+    axis = axis % x.ndim
+    x = x.astype(jnp.float32)
+
+    n = x.shape[axis]
+    pad = (-n) % block_size
+    if pad:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths)
+    nb = (n + pad) // block_size
+    shape = x.shape[:axis] + (nb, block_size) + x.shape[axis + 1:]
+    xb = x.reshape(shape)
+    baxis = axis + 1
+
+    bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
+    mb = jnp.max(bits, axis=baxis, keepdims=True)
+    e = (mb >> 23) - 127  # emax offset is 0 for int formats
+    scale_emax = 2 ** (scale_bits - 1) - 1
+    e = jnp.clip(e, -scale_emax, scale_emax)
+
+    inv_scale = jax.lax.bitcast_convert_type(
+        ((-e + 127) << 23).astype(jnp.int32), jnp.float32)
+    scale = jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+
+    half = float(2 ** (mbits - 2))
+    qmax = float(2 ** (mbits - 1) - 1)
+    scaled = xb * inv_scale * half
+    q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+    q = jnp.clip(q, -qmax, qmax)
+    out = (q * (1.0 / half)) * scale
+
+    out = out.reshape(x.shape).astype(out_dtype)
+    if pad:
+        out = jax.lax.slice_in_dim(out, 0, n, axis=axis)
+    return out

@@ -26,24 +26,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...formats import format_params
-from .quantize import _quantize_block_values
+from .quantize import _quantize_block_values_axis0
 
 
 def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, block_size, mbits_a, mbits_b,
                scale_bits, n_k):
+    """One (i, j, k) grid step.
+
+    Mosaic cannot reshape the minor (lane) dimension into 32-wide blocks, so
+    both operands are quantized with the K blocks on the SUBLANE axis
+    (kernels/quantize.py _quantize_block_values_axis0): B (tk, tn) is already
+    laid out that way; A's tile is transposed in-register to (tk, tm) and the
+    dot contracts dimension 0 of both (lhs-transposed MXU matmul).
+    """
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    qa = _quantize_block_values(a_ref[:], block_size, mbits_a, scale_bits,
-                                jnp.bfloat16)
-    # B is quantized along K (its axis 0): transpose to make K innermost,
-    # quantize, transpose back.
-    bt = b_ref[:].T
-    qb = _quantize_block_values(bt, block_size, mbits_b, scale_bits,
-                                jnp.bfloat16).T
+    at = a_ref[:].T  # (tk, tm): K blocks now on sublanes
+    qa_t = _quantize_block_values_axis0(at, block_size, mbits_a, scale_bits,
+                                        jnp.bfloat16)
+    qb = _quantize_block_values_axis0(b_ref[:], block_size, mbits_b,
+                                      scale_bits, jnp.bfloat16)
 
-    acc_ref[:] += jnp.dot(qa, qb, preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        qa_t, qb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _():

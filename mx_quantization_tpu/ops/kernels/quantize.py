@@ -24,42 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ...formats import format_params
 
 
-def _quantize_block_values(x, block_size: int, mbits: int, scale_bits: int,
-                           out_dtype):
-    """Vectorized in-kernel MX quantization of x (.., K) over 32-blocks.
-
-    Uses bit-level exponent extraction and bitcast-constructed power-of-two
-    scales so no transcendental is involved; rounding is the reference's
-    "nearest" (half away from zero).  TPU flushes fp32 subnormals — blocks
-    whose max is subnormal quantize to zero, which is what the flushed
-    arithmetic produces naturally.
-    """
-    orig_shape = x.shape
-    K = orig_shape[-1]
-    nb = K // block_size
-    xb = x.reshape(orig_shape[:-1] + (nb, block_size))
-
-    # exact max|x| per block via monotonic integer bit patterns
-    bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
-    mb = jnp.max(bits, axis=-1, keepdims=True)
-    # shared exponent (floor(log2 max)), emax offset is 0 for int formats
-    e = (mb >> 23) - 127
-    scale_emax = 2 ** (scale_bits - 1) - 1
-    e = jnp.clip(e, -scale_emax, scale_emax)
-
-    # 2^-e and 2^(e) built by bit assembly (exact)
-    inv_scale = jax.lax.bitcast_convert_type(
-        ((-e + 127) << 23).astype(jnp.int32), jnp.float32)
-    scale = jax.lax.bitcast_convert_type(
-        ((e + 127) << 23).astype(jnp.int32), jnp.float32)
-
-    half = float(2 ** (mbits - 2))
-    qmax = float(2 ** (mbits - 1) - 1)
-    scaled = xb * inv_scale * half
-    q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
-    q = jnp.clip(q, -qmax, qmax)
-    out = q * scale * (1.0 / half)
-    return out.reshape(orig_shape).astype(out_dtype)
+# NOTE (Mosaic layout): the minor (lane) dimension cannot be reshaped into
+# 32-wide blocks inside a TPU kernel ("unsupported shape cast"), so in-kernel
+# quantization always places the shared-exponent blocks on the SUBLANE axis
+# (_quantize_block_values_axis0); last-axis quantization transposes first.
 
 
 def _quantize_block_values_axis0(x, block_size: int, mbits: int,
@@ -93,8 +61,10 @@ def _quantize_block_values_axis0(x, block_size: int, mbits: int,
 
 def _quantize_kernel(x_ref, o_ref, *, block_size, mbits, scale_bits,
                      out_dtype):
-    o_ref[:] = _quantize_block_values(x_ref[:], block_size, mbits,
+    # transpose so K blocks land on sublanes (see layout note above)
+    qt = _quantize_block_values_axis0(x_ref[:].T, block_size, mbits,
                                       scale_bits, out_dtype)
+    o_ref[:] = qt.T
 
 
 @functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
@@ -135,4 +105,52 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
     )(x2)
     if pad:
         out = out[:M]
+    return out.reshape(orig_shape)
+
+
+def _quantize_kernel_axis0(x_ref, o_ref, *, block_size, mbits, scale_bits,
+                           out_dtype):
+    o_ref[:] = _quantize_block_values_axis0(x_ref[:], block_size, mbits,
+                                            scale_bits, out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
+                                             "scale_bits", "out_dtype",
+                                             "tile_cols"))
+def mx_quantize_pallas_axis2(x: jax.Array, elem_format: str = "int8",
+                             block_size: int = 32, scale_bits: int = 8,
+                             out_dtype=jnp.bfloat16, tile_cols: int = 512):
+    """Quantize x along its SECOND-TO-LAST axis (the matmul 'aa' second
+    operand contract, reference matmul.py:76-83).
+
+    x: (..., K, N) with K % block_size == 0.  Leading dims are vmapped.
+    """
+    ebits, mbits, _, _, _ = format_params(elem_format)
+    assert ebits == 0
+    orig_shape = x.shape
+    K, N = orig_shape[-2], orig_shape[-1]
+    assert K % block_size == 0, (K, block_size)
+    x3 = x.reshape((-1, K, N)).astype(jnp.float32)
+
+    tn = min(tile_cols, N)
+    pad = (-N) % tn
+    if pad:
+        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, pad)))
+
+    def one(x2):
+        return pl.pallas_call(
+            functools.partial(_quantize_kernel_axis0, block_size=block_size,
+                              mbits=mbits, scale_bits=scale_bits,
+                              out_dtype=out_dtype),
+            grid=((N + pad) // tn,),
+            in_specs=[pl.BlockSpec((K, tn), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((K, tn), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, N + pad), out_dtype),
+        )(x2)
+
+    out = jax.vmap(one)(x3)
+    if pad:
+        out = out[..., :N]
     return out.reshape(orig_shape)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .elemwise import quantize_elemwise_op
+from .fastquant import bf_fast, fused_eligible, quantize_mx_fast
 from .mx import quantize_mx_op
 
 _INT_FMTS = ("int8", "int4", "int2")
@@ -67,6 +68,8 @@ def mx_linear(x, w, b, mx_specs):
 
 
 def _linear_fwd(x, w, b, specs):
+    if fused_eligible(specs, specs.a_elem_format, specs.w_elem_format):
+        return _linear_fwd_fast(x, w, b, specs)
     bf_x = quantize_elemwise_op(x, specs, round=specs.round_output)
     bf_w = quantize_elemwise_op(w, specs, round=specs.round_weight)
     bf_b = None if b is None else quantize_elemwise_op(
@@ -74,8 +77,11 @@ def _linear_fwd(x, w, b, specs):
 
     qx = quantize_mx_op(bf_x, specs, elem_format=specs.a_elem_format,
                         axes=[-1], round=specs.round_mx_output)
-    qw = quantize_mx_op(bf_w, specs, elem_format=specs.w_elem_format,
-                        axes=[-1], round=specs.round_mx_output)
+    if specs.prequantized_weights:
+        qw = bf_w  # already on the MX grid (idempotent to requantize)
+    else:
+        qw = quantize_mx_op(bf_w, specs, elem_format=specs.w_elem_format,
+                            axes=[-1], round=specs.round_mx_output)
 
     # x: (..., in) @ w.T: (in, out)
     out = mx_dot(qx, qw.T, specs.a_elem_format, specs.w_elem_format)
@@ -84,6 +90,27 @@ def _linear_fwd(x, w, b, specs):
         out = quantize_elemwise_op(out + bf_b, specs,
                                    round=specs.round_output)
 
+    saved_x, saved_w = (bf_x, bf_w) if specs.quantize_backprop else (x, w)
+    return out, (saved_x, saved_w, b is not None)
+
+
+def _linear_fwd_fast(x, w, b, specs):
+    """Serving fast path: XLA-fused float-domain quantization + bf16 MXU
+    matmul (see ops/fastquant.py).  Same contract as the emulation path for
+    the int-format operating points."""
+    bs = specs.block_size
+    sb = specs.effective_scale_bits()
+    bf_x = bf_fast(x, specs)
+    bf_w = bf_fast(w, specs)
+    qx = quantize_mx_fast(bf_x, specs.a_elem_format, bs, sb, axis=-1)
+    if specs.prequantized_weights:
+        qw = w.astype(jnp.bfloat16)  # already on the MX grid
+    else:
+        qw = quantize_mx_fast(bf_w, specs.w_elem_format, bs, sb, axis=-1)
+    out = jnp.matmul(qx, qw.T, preferred_element_type=jnp.float32)
+    out = bf_fast(out, specs)
+    if b is not None:
+        out = bf_fast(out + bf_fast(b, specs), specs)
     saved_x, saved_w = (bf_x, bf_w) if specs.quantize_backprop else (x, w)
     return out, (saved_x, saved_w, b is not None)
 
@@ -162,6 +189,9 @@ def _matmul_fwd(a, b, specs, mode_config):
     fmt1 = _fmt(specs, mode_config[0])
     fmt2 = _fmt(specs, mode_config[1])
 
+    if fused_eligible(specs, fmt1, fmt2):
+        return _matmul_fwd_fast(a, b, specs, fmt1, fmt2)
+
     bf_a = quantize_elemwise_op(a, specs, round=specs.round_output)
     bf_b = quantize_elemwise_op(b, specs, round=specs.round_output)
 
@@ -173,6 +203,19 @@ def _matmul_fwd(a, b, specs, mode_config):
     out = mx_dot(qa, qb, fmt1, fmt2)
     out = quantize_elemwise_op(out, specs, round=specs.round_output)
 
+    saved = (bf_a, bf_b) if specs.quantize_backprop else (a, b)
+    return out, saved
+
+
+def _matmul_fwd_fast(a, b, specs, fmt1, fmt2):
+    bs = specs.block_size
+    sb = specs.effective_scale_bits()
+    bf_a = bf_fast(a, specs)
+    bf_b = bf_fast(b, specs)
+    qa = quantize_mx_fast(bf_a, fmt1, bs, sb, axis=-1)
+    qb = quantize_mx_fast(bf_b, fmt2, bs, sb, axis=-2)
+    out = jnp.matmul(qa, qb, preferred_element_type=jnp.float32)
+    out = bf_fast(out, specs)
     saved = (bf_a, bf_b) if specs.quantize_backprop else (a, b)
     return out, saved
 

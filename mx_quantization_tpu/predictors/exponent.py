@@ -63,12 +63,20 @@ class ExponentApproximation:
         self.Q, self.K = Q, K
         bs = mx_specs.block_size
 
-        def mxq(x):
+        def mxq(x, fmt=mx_specs.a_elem_format):
+            from ..ops.fastquant import bf_fast, fused_eligible, \
+                quantize_mx_fast
+            if fused_eligible(mx_specs, fmt):
+                return quantize_mx_fast(
+                    bf_fast(x, mx_specs), fmt, bs,
+                    mx_specs.effective_scale_bits(),
+                    axis=-1).astype(jnp.float32)
             return quantize_mx_op(
                 quantize_elemwise_op(x, mx_specs, round=mx_specs.round_output),
-                mx_specs, elem_format=mx_specs.a_elem_format, axes=[-1],
+                mx_specs, elem_format=fmt, axes=[-1],
                 round=mx_specs.round_mx_output)
 
+        self._mxq = mxq
         self.MX_Q = mxq(Q)
         self.MX_K = mxq(K)
         self.blk_Q, self.len_Q = block_view(self.MX_Q, -1, bs)
@@ -119,13 +127,7 @@ class ExponentApproximation:
                              approx(self.blk_K, self.se_K))
 
     def MXINT4(self) -> Tuple[Array, Array]:
-        def mx4(x):
-            return quantize_mx_op(
-                quantize_elemwise_op(x, self.specs,
-                                     round=self.specs.round_output),
-                self.specs, elem_format="int4", axes=[-1],
-                round=self.specs.round_mx_output)
-        return mx4(self.Q), mx4(self.K)
+        return (self._mxq(self.Q, "int4"), self._mxq(self.K, "int4"))
 
     def exponent_based_sign_leading_ones(self) -> Tuple[Array, Array]:
         """true_ex: per-element leading-one (examples/deit variant :163-178)."""

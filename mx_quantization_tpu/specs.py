@@ -94,6 +94,9 @@ class MxSpecs:
     #   "ref"    : pure-jnp emulation, bit-faithful to the reference semantics
     #   "fused"  : Pallas kernels with quantization fused into the matmul
     custom_tpu: str = "ref"
+    # Weights already sit on the MX grid (reference Linear.prequantize_weights,
+    # linear.py:276-304): the forward pass skips weight quantization.
+    prequantized_weights: bool = False
 
     def __post_init__(self):
         for f in ("w_elem_format", "a_elem_format", "w_elem_format_bp",

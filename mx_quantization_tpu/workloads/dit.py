@@ -1,0 +1,165 @@
+"""DiT sampling workloads: single-chip CFG sampling and sharded FID-sample
+generation.
+
+Re-implements the reference drivers (workloads/DiT/scripts/sample.py:22-130
+and sample_ddp.py:49-205): build DiT from the factory table, load the EMA
+checkpoint, run the respaced DDPM loop with CFG, decode with the VAE, save
+samples.  The DDP variant's per-rank label sharding (sample_ddp.py:121-137)
+becomes process-sharded label ranges; the only cross-host interaction is the
+final npz merge.
+
+Run:
+    python -m mx_quantization_tpu.workloads.dit --model DiT-XL/2 \
+        --ckpt DiT-XL-2-256x256.pt --num-steps 100 --cfg-scale 4.0 \
+        --mx-quant --top-k --k 154 --exclude-blocks 27
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import create_diffusion
+from ..models.dit import (DiT_models, DiTConfig, DiTQuantConfig,
+                          dit_forward_with_cfg, init_dit)
+from ..predictors.elsa import create_structured_orthogonal_matrix
+from ..specs import finalize_mx_specs
+from .deit import default_mx_specs
+
+
+def sample_dit(params, cfg: DiTConfig, qcfg: DiTQuantConfig,
+               class_labels, key, num_steps: int = 100,
+               cfg_scale: float = 4.0, orthogonal_matrix=None,
+               progress: bool = False) -> jax.Array:
+    """Generate latents for the given class labels (reference sample.py:88-127).
+
+    Returns (N, 4, H, W) latents (pre-VAE).
+    """
+    n = len(class_labels)
+    latent = cfg.input_size
+    diffusion = create_diffusion(str(num_steps))
+
+    key, zk = jax.random.split(key)
+    z = jax.random.normal(zk, (n, cfg.in_channels, latent, latent))
+    z = jnp.concatenate([z, z], axis=0)
+    y = jnp.asarray(list(class_labels) + [cfg.num_classes] * n, jnp.int32)
+
+    x = z
+    step_fns = {}
+    for i in reversed(range(diffusion.num_timesteps)):
+        # per-step model closure: timestep_idx gates exclude_timesteps
+        if i not in step_fns:
+            def model(xt, t, y, _i=i):
+                return dit_forward_with_cfg(
+                    params, xt, t, y, cfg, qcfg, cfg_scale,
+                    timestep_idx=_i, orthogonal_matrix=orthogonal_matrix)
+            step_fns[i] = model
+        key, sk = jax.random.split(key)
+        x = diffusion.p_sample_step(step_fns[i], x, i, sk,
+                                    model_kwargs={"y": y})
+        if progress:
+            print(f"step {i}", flush=True)
+
+    samples, _ = jnp.split(x, 2, axis=0)
+    return samples
+
+
+def sample_for_fid(params, cfg, qcfg, num_samples: int, batch: int,
+                   key, rank: int = 0, world: int = 1,
+                   num_steps: int = 100, cfg_scale: float = 1.5,
+                   orthogonal_matrix=None):
+    """Balanced-class sharded sample generation (reference sample_ddp.py:
+    105-171): rank r samples labels r, r+world, ... cycling over classes."""
+    labels = np.arange(num_samples) % cfg.num_classes
+    shard = labels[rank::world]
+    outs = []
+    for i in range(0, len(shard), batch):
+        key, sk = jax.random.split(key)
+        batch_labels = shard[i:i + batch]
+        if len(batch_labels) == 0:
+            break
+        lat = sample_dit(params, cfg, qcfg, batch_labels, sk,
+                         num_steps=num_steps, cfg_scale=cfg_scale,
+                         orthogonal_matrix=orthogonal_matrix)
+        outs.append(np.asarray(lat))
+    return np.concatenate(outs) if outs else np.zeros((0,))
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("DiT MX sampling")
+    p.add_argument("--model", default="DiT-XL/2", choices=sorted(DiT_models))
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--num-steps", type=int, default=100)
+    p.add_argument("--cfg-scale", type=float, default=4.0)
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--classes", type=int, nargs="*",
+                   default=[207, 360, 387, 974, 88, 979, 417, 279])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="samples.npz")
+    p.add_argument("--vae", default=None,
+                   help="path to converted sd-vae-ft-mse params for decode")
+    p.add_argument("--mx-quant", action="store_true")
+    p.add_argument("--top-k", action="store_true")
+    p.add_argument("--k", type=int, default=154)
+    p.add_argument("--no-ex-pred", action="store_true")
+    p.add_argument("--pred-mode", default="ex_pred")
+    p.add_argument("--exclude-blocks", type=int, nargs="*", default=[27])
+    p.add_argument("--exclude-timesteps", type=int, nargs="*", default=[])
+    p.add_argument("--engine", default="fused", choices=["fused", "ref"])
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    latent = args.image_size // 8
+    cfg = DiT_models[args.model](input_size=latent,
+                                 num_classes=args.num_classes)
+    specs = default_mx_specs(args.engine) if args.mx_quant else None
+    qcfg = DiTQuantConfig(
+        mx_specs=specs, mx_quant=args.mx_quant, top_k=args.top_k, k=args.k,
+        ex_pred=not args.no_ex_pred, pred_mode=args.pred_mode,
+        exclude_blocks=tuple(args.exclude_blocks),
+        exclude_timesteps=tuple(args.exclude_timesteps))
+
+    if args.ckpt:
+        from ..utils.checkpoint import load_dit_checkpoint
+        params = jax.tree.map(jnp.asarray,
+                              load_dit_checkpoint(args.ckpt, cfg.depth))
+    else:
+        print("WARNING: no --ckpt — random init (smoke test only)")
+        params = init_dit(jax.random.key(0), cfg)
+
+    om = None
+    if args.pred_mode == "ELSA":
+        om = jnp.asarray(create_structured_orthogonal_matrix(cfg.head_dim))
+
+    t0 = time.time()
+    lat = sample_dit(params, cfg, qcfg, args.classes,
+                     jax.random.key(args.seed), args.num_steps,
+                     args.cfg_scale, om)
+    lat = np.asarray(lat)
+    dt = time.time() - t0
+    print(f"sampled {lat.shape} in {dt:.1f}s "
+          f"({len(args.classes)/dt:.3f} imgs/s)")
+
+    if args.vae:
+        from ..models.vae import decode_latents, load_vae_checkpoint
+        vae = load_vae_checkpoint(args.vae)
+        imgs = np.asarray(decode_latents(vae, jnp.asarray(lat)))
+        np.savez(args.out, samples=imgs, latents=lat,
+                 labels=np.asarray(args.classes))
+    else:
+        np.savez(args.out, latents=lat, labels=np.asarray(args.classes))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""PixArt-alpha text-to-image inference workload.
+
+Re-implements the reference alpha pipeline
+(workloads/PixArt/scripts/text_local_inference_alpha.py:39-254) TPU-first:
+
+  Phase 1: T5 text encoding — done OFFLINE exactly like the reference (it
+  encodes all prompts, caches embeds, then frees the T5, alpha:86-103).
+  Here the cache is an .npz of (embeds, attention_mask); a helper encodes
+  with a local transformers T5 checkpoint when available.
+
+  Phase 2: MX PixArt transformer + DPM-Solver++ 20-step sampling + VAE
+  decode, with self/cross top-k pruning configured per the reference's
+  set_config cascade.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import DPMSolverMultistep
+from ..models.pixart import (PixArtConfig, PixArtQuantConfig, init_pixart,
+                             pixart_forward)
+from ..predictors.elsa import create_structured_orthogonal_matrix
+from .deit import default_mx_specs
+
+
+def encode_prompts_t5(prompts: List[str], t5_path: str, max_length: int = 120
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Offline T5 encoding with a local checkpoint (reference alpha:86-99).
+    Returns (embeds (N, L, 4096), mask (N, L))."""
+    import torch
+    from transformers import T5EncoderModel, T5Tokenizer
+
+    tok = T5Tokenizer.from_pretrained(t5_path)
+    enc = T5EncoderModel.from_pretrained(t5_path)
+    enc.eval()
+    inputs = tok(prompts, max_length=max_length, padding="max_length",
+                 truncation=True, return_tensors="pt")
+    with torch.no_grad():
+        out = enc(input_ids=inputs.input_ids,
+                  attention_mask=inputs.attention_mask)
+    return (out.last_hidden_state.numpy().astype(np.float32),
+            inputs.attention_mask.numpy().astype(np.int32))
+
+
+def sample_pixart(params, cfg: PixArtConfig, qcfg: PixArtQuantConfig,
+                  prompt_embeds: jax.Array, prompt_mask: jax.Array,
+                  null_embeds: jax.Array, key,
+                  num_steps: int = 20, guidance_scale: float = 4.5,
+                  orthogonal_matrix=None) -> jax.Array:
+    """Generate latents for a batch of prompts with CFG (alpha:201-210)."""
+    n = prompt_embeds.shape[0]
+    latent = cfg.sample_size
+    solver = DPMSolverMultistep()
+
+    nm = jnp.ones_like(prompt_mask[:1])
+    null = jnp.broadcast_to(null_embeds, prompt_embeds.shape)
+
+    step_counter = {"i": 0}
+
+    def eps_model(x, t, ctx, mask, step_idx):
+        out = pixart_forward(params, x, ctx, t, cfg, qcfg,
+                             encoder_attention_mask=mask,
+                             timestep_idx=step_idx,
+                             orthogonal_matrix=orthogonal_matrix)
+        return out[:, : cfg.in_channels]  # drop learned-variance channels
+
+    x = jax.random.normal(key, (n, cfg.in_channels, latent, latent))
+    ts = solver.timesteps(num_steps)
+    prev_x0 = None
+    prev_t = None
+    for si, t_idx in enumerate(ts):
+        t = jnp.full((n,), float(t_idx))
+        eps_c = eps_model(x, t, prompt_embeds, prompt_mask, si)
+        eps_u = eps_model(x, t, null, jnp.broadcast_to(nm, prompt_mask.shape),
+                          si)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+
+        a, sg = solver.alpha_t[t_idx], solver.sigma_t[t_idx]
+        x0 = (x - sg * eps) / a
+        s_t = int(ts[si + 1]) if si + 1 < len(ts) else 0
+        lam_s, lam_t = solver.lambda_t[t_idx], solver.lambda_t[s_t]
+        h = lam_t - lam_s
+        a_s, sg_s = solver.alpha_t[s_t], solver.sigma_t[s_t]
+        if prev_x0 is None:
+            x = (sg_s / sg) * x - a_s * jnp.expm1(-h) * x0
+        else:
+            h_prev = solver.lambda_t[t_idx] - solver.lambda_t[prev_t]
+            r = h_prev / h if h != 0 else 1.0
+            d = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
+            x = (sg_s / sg) * x - a_s * jnp.expm1(-h) * d
+        prev_x0, prev_t = x0, t_idx
+    return x
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("PixArt-alpha MX inference")
+    p.add_argument("--transformer-ckpt", default=None)
+    p.add_argument("--prompt-embeds", default=None,
+                   help=".npz with embeds/mask/null_embeds (offline T5)")
+    p.add_argument("--t5-path", default=None)
+    p.add_argument("--prompts", nargs="*", default=["an astronaut riding a horse"])
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--num-steps", type=int, default=20)
+    p.add_argument("--guidance-scale", type=float, default=4.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="pixart_samples.npz")
+    p.add_argument("--vae", default=None)
+    p.add_argument("--mx-quant", action="store_true")
+    p.add_argument("--self-top-k", action="store_true")
+    p.add_argument("--self-k", type=int, default=77)
+    p.add_argument("--cross-top-k", action="store_true")
+    p.add_argument("--cross-k", type=int, default=20)
+    p.add_argument("--no-ex-pred", action="store_true")
+    p.add_argument("--pred-mode", default="two_step_leading_ones")
+    p.add_argument("--exclude-blocks", type=int, nargs="*", default=[27])
+    p.add_argument("--engine", default="fused", choices=["fused", "ref"])
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = PixArtConfig(sample_size=args.image_size // 8)
+    specs = default_mx_specs(args.engine) if args.mx_quant else None
+    qcfg = PixArtQuantConfig(
+        mx_specs=specs, mx_quant=args.mx_quant,
+        self_top_k=args.self_top_k, self_k=args.self_k,
+        cross_top_k=args.cross_top_k, cross_k=args.cross_k,
+        ex_pred=not args.no_ex_pred, pred_mode=args.pred_mode,
+        exclude_blocks=tuple(args.exclude_blocks))
+
+    if args.prompt_embeds:
+        z = np.load(args.prompt_embeds)
+        embeds, mask = z["embeds"], z["mask"]
+        null = z.get("null_embeds", np.zeros_like(embeds[:1]))
+    elif args.t5_path:
+        embeds, mask = encode_prompts_t5(args.prompts, args.t5_path)
+        null, _ = encode_prompts_t5([""], args.t5_path)
+    else:
+        print("WARNING: no prompt embeds/T5 — synthetic embeds (smoke test)")
+        rng = np.random.RandomState(0)
+        embeds = rng.randn(len(args.prompts), 120,
+                           cfg.caption_channels).astype(np.float32)
+        mask = np.ones((len(args.prompts), 120), np.int32)
+        null = rng.randn(1, 120, cfg.caption_channels).astype(np.float32)
+
+    if args.transformer_ckpt:
+        from ..utils.checkpoint import load_params
+        params = jax.tree.map(jnp.asarray, load_params(args.transformer_ckpt))
+    else:
+        print("WARNING: no --transformer-ckpt — random init (smoke test)")
+        params = init_pixart(jax.random.key(0), cfg)
+
+    om = None
+    if args.pred_mode == "ELSA":
+        om = jnp.asarray(
+            create_structured_orthogonal_matrix(cfg.attention_head_dim))
+
+    t0 = time.time()
+    lat = sample_pixart(params, cfg, qcfg, jnp.asarray(embeds),
+                        jnp.asarray(mask), jnp.asarray(null),
+                        jax.random.key(args.seed), args.num_steps,
+                        args.guidance_scale, om)
+    lat = np.asarray(lat)
+    print(f"sampled {lat.shape} in {time.time()-t0:.1f}s")
+
+    if args.vae:
+        from ..models.vae import decode_latents, load_vae_checkpoint
+        vae = load_vae_checkpoint(args.vae)
+        imgs = np.asarray(decode_latents(vae, jnp.asarray(lat)))
+        np.savez(args.out, samples=imgs, latents=lat)
+    else:
+        np.savez(args.out, latents=lat)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

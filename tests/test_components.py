@@ -1,0 +1,154 @@
+"""Tests for auxiliary components: simd ops, pooling, batchnorm, LSTM,
+FID/IS/precision-recall math, analysis tools, samplers, npz IO."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mx_quantization_tpu import finalize_mx_specs
+
+BF16 = finalize_mx_specs(dict(bfloat=16, round="even",
+                              a_elem_format="int8"))
+NOQ = finalize_mx_specs(dict(bfloat=0), early_exit=False)
+
+
+def rand(*shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+
+def test_simd_ops_forward_backward():
+    from mx_quantization_tpu.ops.simd import (simd_add, simd_div, simd_mul,
+                                              simd_norm, simd_reduce_sum,
+                                              simd_sqrt, simd_square,
+                                              simd_sub)
+    a, b = rand(4, 8, seed=1), rand(4, 8, seed=2)
+    np.testing.assert_allclose(simd_add(a, b, NOQ), a + b, rtol=1e-6)
+    np.testing.assert_allclose(simd_mul(a, b, NOQ), a * b, rtol=1e-6)
+    g = jax.grad(lambda x: jnp.sum(simd_mul(x, b, BF16) ** 2))(a)
+    assert np.isfinite(np.asarray(g)).all()
+    # broadcast gradient reduction
+    c = rand(8, seed=3)
+    gc = jax.grad(lambda x: jnp.sum(simd_add(a, x, NOQ)))(c)
+    np.testing.assert_allclose(gc, np.full(8, 4.0), rtol=1e-6)
+    s = simd_reduce_sum(a, [1], False, NOQ)
+    np.testing.assert_allclose(s, a.sum(1), rtol=1e-6)
+    n = simd_norm(a, NOQ)
+    np.testing.assert_allclose(n, jnp.linalg.norm(a), rtol=1e-5)
+    np.testing.assert_allclose(simd_sqrt(jnp.abs(a), NOQ),
+                               jnp.sqrt(jnp.abs(a)), rtol=1e-6)
+    np.testing.assert_allclose(simd_div(a, b, NOQ), a / b, rtol=1e-6)
+    np.testing.assert_allclose(simd_square(a, NOQ), a * a, rtol=1e-6)
+    np.testing.assert_allclose(simd_sub(a, b, NOQ), a - b, rtol=1e-6)
+
+
+def test_adaptive_avg_pool2d():
+    from mx_quantization_tpu.ops.pooling import adaptive_avg_pool2d
+    x = rand(2, 3, 7, 9, seed=4)
+    out = adaptive_avg_pool2d(x, (2, 3), mx_specs=NOQ)
+    assert out.shape == (2, 3, 2, 3)
+    # parity with simple mean when evenly dividing
+    x2 = rand(2, 3, 8, 8, seed=5)
+    out2 = adaptive_avg_pool2d(x2, 4, mx_specs=NOQ)
+    ref = x2.reshape(2, 3, 4, 2, 4, 2).mean(axis=(3, 5))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=1e-5)
+    g = jax.grad(lambda t: jnp.sum(
+        adaptive_avg_pool2d(t, 2, mx_specs=BF16) ** 2))(x2)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_batch_norm():
+    from mx_quantization_tpu.ops.batchnorm import (BatchNormState, batch_norm,
+                                                   init_batchnorm_state)
+    x = rand(8, 4, 5, 5, seed=6)
+    w, b = jnp.ones(4), jnp.zeros(4)
+    st = init_batchnorm_state(4)
+    out, st2 = batch_norm(x, st, w, b, training=True, mx_specs=None)
+    m = np.asarray(out).mean(axis=(0, 2, 3))
+    np.testing.assert_allclose(m, np.zeros(4), atol=1e-5)
+    assert not np.allclose(st2.running_mean, st.running_mean)
+    # eval mode uses running stats
+    out_eval, st3 = batch_norm(x, st2, w, b, training=False, mx_specs=None)
+    assert st3 is st2
+    # quantized path
+    out_q, _ = batch_norm(x, st, w, b, training=True, mx_specs=BF16)
+    assert np.abs(np.asarray(out_q) - np.asarray(out)).max() < 0.05
+
+
+def test_lstm():
+    from mx_quantization_tpu.ops.rnn import init_lstm, lstm
+    p = init_lstm(jax.random.key(0), 16, 32)
+    x = rand(5, 3, 16, seed=7)
+    ys, (h, c) = lstm(x, p, mx_specs=None)
+    assert ys.shape == (5, 3, 32) and h.shape == (3, 32)
+    ys_q, _ = lstm(x, p, mx_specs=BF16)
+    assert np.abs(np.asarray(ys_q) - np.asarray(ys)).max() < 0.1
+
+
+def test_fid_math():
+    from mx_quantization_tpu.evaluation import (compute_fid,
+                                                compute_inception_score,
+                                                compute_precision_recall)
+    rng = np.random.RandomState(0)
+    a = rng.randn(500, 16)
+    b = rng.randn(500, 16)
+    same = compute_fid(a, a[:499])
+    diff = compute_fid(a, b + 3.0)
+    assert same < 0.5 and diff > 5.0
+    # IS: uniform predictions -> score 1; peaked + diverse -> high
+    uniform = np.full((100, 10), 0.1)
+    assert abs(compute_inception_score(uniform) - 1.0) < 1e-5
+    peaked = np.eye(10)[rng.randint(0, 10, 200)] * 0.91 + 0.01
+    assert compute_inception_score(peaked) > 4.0
+    p, r = compute_precision_recall(a, a[:400] + 0.01 * rng.randn(400, 16))
+    assert p > 0.9 and r > 0.9
+    p2, _ = compute_precision_recall(a, b + 10.0)
+    assert p2 < 0.1
+
+
+def test_npz_io_roundtrip(tmp_path):
+    from mx_quantization_tpu.evaluation import images_to_npz, load_npz_images
+    from mx_quantization_tpu.evaluation.npz_io import latents_to_images
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            d / f"{i}.png")
+    out = images_to_npz(str(d), str(tmp_path / "x.npz"), size=32)
+    arr = load_npz_images(out)
+    assert arr.shape == (3, 32, 32, 3) and arr.dtype == np.uint8
+    lat = rng.randn(2, 3, 8, 8).astype(np.float32)
+    imgs = latents_to_images(lat)
+    assert imgs.shape == (2, 8, 8, 3) and imgs.dtype == np.uint8
+
+
+def test_analysis_tools():
+    from mx_quantization_tpu.analysis import (diff_idx_analysis,
+                                              total_chosen_k)
+    idx = jnp.asarray(np.tile(np.arange(4)[None], (2, 3, 8, 1)))
+    avg = total_chosen_k(idx)
+    assert float(avg) == 4.0  # every row picks the same 4 keys
+    tv = jnp.ones((2, 8, 4)) * 0.2
+    pv = jnp.ones((2, 8, 4)) * 0.1
+    assert abs(float(diff_idx_analysis(tv, pv)) - 0.5) < 1e-6
+
+
+def test_ra_sampler():
+    from mx_quantization_tpu.data.samplers import ra_sampler_indices
+    idx0 = ra_sampler_indices(1000, 0, 2, seed=0)
+    idx1 = ra_sampler_indices(1000, 1, 2, seed=0)
+    assert idx0.max() < 1000 and len(idx0) == len(idx1)
+    # deterministic per seed
+    np.testing.assert_array_equal(idx0, ra_sampler_indices(1000, 0, 2, 0))
+
+
+def test_clip_score_features():
+    from mx_quantization_tpu.evaluation import clip_score_from_features
+    rng = np.random.RandomState(0)
+    e = rng.randn(10, 64)
+    assert abs(clip_score_from_features(e, e) - 100.0) < 1e-4
+    assert clip_score_from_features(e, -e) == 0.0

@@ -1,0 +1,108 @@
+"""Fused (custom_tpu="fused") fast path vs bit-exact emulation.
+
+The fast path must produce the SAME quantized grids as the emulation for
+normal-range fp32 inputs (fp32 subnormals flush on the fast path — TPU
+arithmetic semantics — and are excluded here; the emulation remains the
+bit-parity oracle against the reference).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mx_quantization_tpu import finalize_mx_specs
+from mx_quantization_tpu.ops import linear, matmul, quantize_mx
+from mx_quantization_tpu.ops.fastquant import (fused_eligible,
+                                               quantize_mx_fast)
+
+FUSED = finalize_mx_specs(dict(
+    w_elem_format="int8", a_elem_format="int8", scale_bits=8, block_size=32,
+    quantize_backprop=False, custom_tpu="fused"))
+REF = FUSED.replace(custom_tpu="ref")
+
+
+def rand(*shape, seed=0, scale=1.0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+
+@pytest.mark.parametrize("fmt", ["int8", "int4", "int2"])
+@pytest.mark.parametrize("axis", [-1, -2])
+def test_fastquant_matches_oracle(fmt, axis):
+    x = rand(48, 64, seed=1, scale=3.0)
+    got = np.asarray(quantize_mx_fast(x, fmt, 32, 8, axis=axis), np.float32)
+    want = np.asarray(quantize_mx(x, 8, fmt, axes=[axis], block_size=32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fastquant_extreme_scales():
+    # magnitudes across the full normal exponent range, incl. clamp region
+    x = rand(8, 64, seed=2) * jnp.asarray(
+        np.logspace(-35, 35, 64, dtype=np.float32))
+    got = np.asarray(quantize_mx_fast(x, "int8", 32, 8), np.float32)
+    want = np.asarray(quantize_mx(x, 8, "int8", axes=[-1], block_size=32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fastquant_nondividing_block():
+    x = rand(5, 40, seed=3)
+    got = np.asarray(quantize_mx_fast(x, "int8", 32, 8), np.float32)
+    want = np.asarray(quantize_mx(x, 8, "int8", axes=[-1], block_size=32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_linear_fused_equals_ref():
+    x, w, b = rand(16, 64, seed=4), rand(32, 64, seed=5), rand(32, seed=6)
+    out_f = linear(x, w, b, mx_specs=FUSED)
+    out_r = linear(x, w, b, mx_specs=REF)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_matmul_fused_equals_ref():
+    a, b = rand(2, 3, 16, 64, seed=7), rand(2, 3, 64, 16, seed=8)
+    out_f = matmul(a, b, mx_specs=FUSED, mode_config="aa")
+    out_r = matmul(a, b, mx_specs=REF, mode_config="aa")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_eligibility_gates():
+    assert fused_eligible(FUSED, "int8", "int8")
+    assert not fused_eligible(REF, "int8", "int8")
+    assert not fused_eligible(FUSED, "fp8_e4m3", "int8")
+    flushy = FUSED.replace(mx_flush_fp32_subnorms=True)
+    assert not fused_eligible(flushy, "int8", "int8")
+
+
+def test_attention_fused_equals_ref():
+    from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                               topk_attention)
+    q = rand(1, 2, 32, 64, seed=9)
+    k = rand(1, 2, 32, 64, seed=10)
+    v = rand(1, 2, 32, 64, seed=11)
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=8,
+                              approx_flag=True, pred_mode="ex_pred")
+    out_f, _ = topk_attention(q, k, v, 0.125, FUSED, cfg)
+    out_r, _ = topk_attention(q, k, v, 0.125, REF, cfg)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_topk_mask_matches_topk_with_ties():
+    from mx_quantization_tpu.attention import _topk_mask
+    import jax
+    # power-of-two predictor-like scores produce many exact ties
+    rng = np.random.RandomState(12)
+    s = jnp.asarray(
+        2.0 ** rng.randint(-3, 3, (4, 16, 40)) *
+        np.sign(rng.randn(4, 16, 40)).astype(np.float32))
+    k = 7
+    mask = np.asarray(_topk_mask(s, k))
+    assert (mask.sum(-1) == k).all()
+    _, idx = jax.lax.top_k(s, k)
+    ref = np.zeros(s.shape, bool)
+    np.put_along_axis(ref, np.asarray(idx), True, axis=-1)
+    np.testing.assert_array_equal(mask, ref)
