@@ -75,10 +75,11 @@ def _sparse_softmax_scatter(true_scores, idx):
 
 def _topk_mask(scores, k: int):
     """Boolean mask of each row's top-k entries with jax.lax.top_k tie
-    semantics (lowest index wins), built from sort + cumsum — no
-    scatter/gather, so it runs at VPU speed on TPU."""
-    n = scores.shape[-1]
-    kth = jnp.sort(scores, axis=-1)[..., n - k][..., None]
+    semantics (lowest index wins) — no scatter/gather/sort.  The k-th value
+    comes from a bit-space binary search (ops/selection.py); ties at the
+    threshold are ranked by cumsum."""
+    from .ops.selection import kth_largest
+    kth = kth_largest(scores, k)[..., None]
     gt = scores > kth
     n_gt = jnp.sum(gt, axis=-1, keepdims=True)
     eq = scores == kth
@@ -143,6 +144,19 @@ def topk_attention(
         selector = true_scores
 
     fused = mx_specs.custom_tpu == "fused"
+    if (fused and cfg.sparse_impl == "dense" and bias is None
+            and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
+            and (cfg.pred_mode == "ex_pred" or not cfg.approx_flag)):
+        # single fused Pallas kernel: quantize + scores + predictor +
+        # selection + masked softmax + PV, all in VMEM
+        from .ops.kernels.topk_attention import fused_topk_attention
+        out = fused_topk_attention(
+            q, k, v, k=cfg.k, scale=scale,
+            block_size=mx_specs.block_size,
+            scale_bits=mx_specs.effective_scale_bits(),
+            approx=cfg.approx_flag)
+        return out, None
+
     if cfg.sparse_impl == "dense":
         if fused:
             # scatter-free masked softmax (same selection, VPU-speed)

@@ -1,0 +1,220 @@
+"""Pallas fused MX top-k attention.
+
+One kernel per (batch, head): MX-quantize q/k/v, compute true + predictor
+scores, select each row's top-k (exact, tie-stable), masked softmax, weigh V
+— all in VMEM.  This collapses what the XLA path does in ~40 HBM passes over
+the N x N score tensors (quantize, predictor matmul, 32-pass k-th binary
+search, cumsum, masked softmax, attn quantize, PV matmul) into a single read
+of q/k/v and a single write of the output.
+
+Numerics contract (same as attention.topk_attention with sparse_impl="dense"
+on the fused path):
+  * q/k MX-quantized per 32-block along the head dim, scores via bf16 MXU
+    dot with f32 accumulation (MXINT8 grid points are bf16-exact)
+  * ex_pred predictor: sign * 2^(block shared exponent), from the quantized
+    values (funcs/exponent_based_prediction.py:135-161 semantics)
+  * selection: k-th largest of predictor scores via bit-space binary search
+    (exact); ties ranked lowest-index-first like jax.lax.top_k, with the
+    rank computed as a triangular-matrix matmul (MXU) instead of a cumsum
+  * attn row quantized along N, V along N, PV via bf16 MXU dot
+
+Layout notes (Mosaic): the lane (minor) dimension cannot be reshaped into
+32-wide blocks, so all quantization places blocks on sublanes: q/k arrive
+pre-transposed as (D, N) tiles, attn is transposed in-register before PV.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_IMIN = -2147483648  # python int: pallas kernels must not capture traced consts
+
+
+def _quant_axis0(x, block_size, mbits, scale_bits):
+    """MX-quantize 2D x (K, N) with blocks along axis 0 (sublanes).
+
+    Returns (values bf16, block exponents (K//bs, N) int32).
+    """
+    K, N = x.shape
+    nb = K // block_size
+    xb = x.reshape(nb, block_size, N)
+    bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
+    mb = jnp.max(bits, axis=1, keepdims=True)
+    e = (mb >> 23) - 127
+    scale_emax = 2 ** (scale_bits - 1) - 1
+    e = jnp.clip(e, -scale_emax, scale_emax)
+    inv_scale = jax.lax.bitcast_convert_type(
+        ((-e + 127) << 23).astype(jnp.int32), jnp.float32)
+    scale = jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+    half = float(2 ** (mbits - 2))
+    qmax = float(2 ** (mbits - 1) - 1)
+    scaled = xb * inv_scale * half
+    q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+    q = jnp.clip(q, -qmax, qmax)
+    vals = (q * (1.0 / half) * scale).reshape(K, N).astype(jnp.bfloat16)
+    return vals, e.reshape(nb, N)
+
+
+def _exp_sign_approx(qvals, exps, block_size):
+    """sign(q) * 2^block_exp as bf16 (the ex_pred operand)."""
+    K, N = qvals.shape
+    nb = K // block_size
+    # element-repeat along sublanes (pltpu.repeat is tile-semantics)
+    e_full = jnp.broadcast_to(exps[:, None, :],
+                              (nb, block_size, N)).reshape(K, N)
+    pw = jax.lax.bitcast_convert_type(
+        ((jnp.clip(e_full, -126, 127) + 127) << 23).astype(jnp.int32),
+        jnp.float32)
+    # full-vector where-operands: Mosaic rejects the i1 relayout needed for
+    # replicated scalar branches of a select; compare in f32 (no bf16 cmp)
+    return jnp.where(qvals.astype(jnp.float32) < 0, -pw, pw
+                     ).astype(jnp.bfloat16)
+
+
+def _kth_keys(keys, k, n_iters=32):
+    """Per-row k-th largest int32 key (rows = axis 0) via binary search."""
+    R = keys.shape[0]
+    lo = jnp.full((R, 1), jnp.int32(_IMIN))
+    hi = jnp.full((R, 1), jnp.int32(2147483647))
+
+    def body(_, state):
+        lo, hi = state
+        mid = lo + jax.lax.shift_right_logical(hi - lo, 1)
+        cnt = jnp.sum((keys > mid).astype(jnp.int32), axis=1, keepdims=True)
+        up = cnt >= k
+        return jnp.where(up, mid + 1, lo), jnp.where(up, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    return lo
+
+
+def _mono_keys(x):
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(b >= 0, b, jnp.bitwise_xor(jnp.invert(b), jnp.int32(_IMIN)))
+
+
+def _topk_attn_kernel(qt_ref, kt_ref, v_ref, o_ref, *, block_size, mbits,
+                      scale_bits, k, scale, n_valid, d_valid, approx):
+    """One (batch*head) cell: qt/kt are (1, D, N) transposed tiles; v (1, N, D)."""
+    _, D, N = qt_ref.shape
+
+    qv, qe = _quant_axis0(qt_ref[0], block_size, mbits, scale_bits)
+    kv, ke = _quant_axis0(kt_ref[0], block_size, mbits, scale_bits)
+
+    dn = (((0,), (0,)), ((), ()))
+    s_true = jax.lax.dot_general(qv, kv, dn,
+                                 preferred_element_type=jnp.float32) * scale
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    key_pad = col >= n_valid  # padded key columns
+
+    if approx:
+        aq = _exp_sign_approx(qv, qe, block_size)
+        ak = _exp_sign_approx(kv, ke, block_size)
+        # padded head-dim rows would contribute sign(0)*2^e; the reference
+        # slices the block padding away (mx_ops.py:164-174) — mask them.
+        # (an f32 0/1 row mask avoids a Mosaic i1-relayout limitation)
+        drow = jax.lax.broadcasted_iota(jnp.int32, (D, N), 0)
+        dmask = jnp.minimum(
+            jnp.maximum(jnp.float32(d_valid) - drow.astype(jnp.float32),
+                        0.0), 1.0).astype(jnp.bfloat16)
+        aq = aq * dmask
+        ak = ak * dmask
+        s_sel = jax.lax.dot_general(aq, ak, dn,
+                                    preferred_element_type=jnp.float32)
+    else:
+        s_sel = s_true
+    neg = jnp.full((N, N), -3.0e38, jnp.float32)
+    s_sel = jnp.where(key_pad, neg, s_sel)
+
+    keys = _mono_keys(s_sel)
+    kth = _kth_keys(keys, k)
+    gt = keys > kth
+    eq = keys == kth
+    n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
+    # lowest-index-first tie rank via inclusive lower-triangular matmul
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+           ).astype(jnp.float32).astype(jnp.bfloat16)
+    rank = jax.lax.dot_general(
+        eq.astype(jnp.float32).astype(jnp.bfloat16), tri,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    sel = gt | (eq & (rank <= (k - n_gt).astype(jnp.float32)))
+
+    masked = jnp.where(sel, s_true, neg)
+    m = jnp.max(masked, axis=1, keepdims=True)
+    e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
+    attn = e / jnp.sum(e, axis=1, keepdims=True)
+
+    # attn quantized along N (its last axis) -> transpose, blocks on sublanes
+    attn_t = attn.T
+    at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits)
+    v_q, _ = _quant_axis0(v_ref[0], block_size, mbits, scale_bits)
+    out = jax.lax.dot_general(at_q, v_q, dn,
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _use_interpret() -> bool:
+    import jax
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("k", "scale", "block_size",
+                                             "mbits", "scale_bits", "approx"))
+def fused_topk_attention(q, k_, v, *, k: int, scale: float,
+                         block_size: int = 32, mbits: int = 8,
+                         scale_bits: int = 8, approx: bool = True):
+    """(B, H, N, D) q/k/v -> (B, H, N, D) attention output.
+
+    approx=True selects by the ex_pred predictor; False by the true scores.
+    N and D are padded internally (zero pads quantize to zero and padded key
+    columns are excluded from selection).
+    """
+    B, H, N, D = q.shape
+    Np = _round_up(N, 128)
+    Dp = _round_up(D, block_size)
+    Dp = _round_up(Dp, 8)  # sublane alignment for the transposed tiles
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Np - N), (0, Dp - D)))
+        return x.reshape(B * H, Np, Dp).astype(jnp.float32)
+
+    qp, kp, vp = prep(q), prep(k_), prep(v)
+    qt = jnp.swapaxes(qp, 1, 2)  # (G, Dp, Np)
+    kt = jnp.swapaxes(kp, 1, 2)
+
+    G = B * H
+    kern = functools.partial(
+        _topk_attn_kernel, block_size=block_size, mbits=mbits,
+        scale_bits=scale_bits, k=k, scale=scale, n_valid=N, d_valid=D,
+        approx=approx)
+    out = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, Dp, Np), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp, Np), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, Dp), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Np, Dp), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Np, Dp), jnp.float32),
+        interpret=_use_interpret(),
+    )(qt, kt, vp)
+    out = out.reshape(B, H, Np, Dp)[:, :, :N, :D]
+    return out

@@ -1,0 +1,63 @@
+"""Fused Pallas top-k attention kernel vs the XLA fused path (interpret mode
+on CPU; the same comparison runs on real TPU via tools/ablate_bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mx_quantization_tpu import finalize_mx_specs
+from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                           _sparse_softmax_threshold,
+                                           predict_scores)
+from mx_quantization_tpu.ops import matmul
+from mx_quantization_tpu.ops.kernels.topk_attention import \
+    fused_topk_attention
+
+FUSED = finalize_mx_specs(dict(
+    w_elem_format="int8", a_elem_format="int8", scale_bits=8, block_size=32,
+    quantize_backprop=False, custom_tpu="fused"))
+
+
+def rand(*shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+
+def _xla_reference(q, k, v, kk, scale, approx=True):
+    true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=FUSED,
+                         mode_config="aa") * scale
+    sel = predict_scores(q, k, FUSED, "ex_pred") if approx else true_scores
+    attn = _sparse_softmax_threshold(true_scores, sel, kk)
+    return matmul(attn, v, mx_specs=FUSED, mode_config="aa")
+
+
+@pytest.mark.parametrize("shape,kk", [
+    ((1, 2, 128, 64), 16),     # aligned
+    ((1, 2, 100, 72), 20),     # DiT-like head dim, padded N
+])
+@pytest.mark.parametrize("approx", [True, False])
+def test_fused_kernel_matches_xla_path(shape, kk, approx):
+    q = rand(*shape, seed=1)
+    k = rand(*shape, seed=2)
+    v = rand(*shape, seed=3)
+    scale = shape[-1] ** -0.5
+    out_k = fused_topk_attention(q, k, v, k=kk, scale=scale, approx=approx)
+    out_x = _xla_reference(q, k, v, kk, scale, approx)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_kernel_via_topk_attention_dispatch():
+    q = rand(1, 2, 64, 64, seed=4)
+    k = rand(1, 2, 64, 64, seed=5)
+    v = rand(1, 2, 64, 64, seed=6)
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=8,
+                              approx_flag=True, pred_mode="ex_pred")
+    from mx_quantization_tpu.attention import topk_attention
+    out, idx = topk_attention(q, k, v, 0.125, FUSED, cfg)
+    assert idx is None
+    ref = _xla_reference(q, k, v, 8, 0.125, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
