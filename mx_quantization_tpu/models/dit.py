@@ -292,4 +292,6 @@ DiT_models = {
     "DiT-B/8": _mk(12, 768, 8, 12),
     "DiT-S/2": _mk(12, 384, 2, 6), "DiT-S/4": _mk(12, 384, 4, 6),
     "DiT-S/8": _mk(12, 384, 8, 6),
+    # tiny config for CLI smoke tests / debugging (no reference equivalent)
+    "DiT-debug": _mk(2, 64, 2, 2),
 }

@@ -1,0 +1,75 @@
+"""Profiling / tracing utilities (aux subsystem).
+
+The reference's only tracing is a DEBUG print decorator
+(mx_mapping.py:26-38) and cuda-memory prints (deit/utils.py:155-159).  Here:
+jax.profiler trace capture, a step-timer context, and a roofline estimate
+helper for quantized matmuls.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/mx_trace"):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-clock step timing with device sync via scalar fetch.
+
+    NOTE: on asynchronous dispatch backends (including the remote-relay TPU
+    used here), ``block_until_ready`` does NOT wait — pass the step output
+    and the timer fetches a scalar reduction to force completion.
+    """
+
+    def __init__(self):
+        self.times = []
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, out=None):
+        if out is not None:
+            import jax.numpy as jnp
+            import numpy as np
+            leaf = out
+            import jax
+            leaves = jax.tree.leaves(out)
+            if leaves:
+                np.asarray(jnp.sum(leaves[0].astype(jnp.float32)))
+        self.times.append(time.perf_counter() - self._t0)
+
+    def summary(self) -> Dict[str, float]:
+        import numpy as np
+        t = np.asarray(self.times[1:] or self.times)  # drop compile step
+        return {"mean_s": float(t.mean()), "p50_s": float(np.median(t)),
+                "min_s": float(t.min()), "steps": len(self.times)}
+
+
+def matmul_roofline(m: int, n: int, k: int, dtype_bytes: int = 2,
+                    peak_tflops: float = 197.0,
+                    hbm_gbps: float = 819.0) -> Dict[str, float]:
+    """Speed-of-light estimate for one matmul on v5e (bf16 MXU defaults)."""
+    flops = 2.0 * m * n * k
+    bytes_ = dtype_bytes * (m * k + k * n + m * n)
+    t_compute = flops / (peak_tflops * 1e12)
+    t_memory = bytes_ / (hbm_gbps * 1e9)
+    return {
+        "flops": flops,
+        "bytes": float(bytes_),
+        "t_compute_us": t_compute * 1e6,
+        "t_memory_us": t_memory * 1e6,
+        "bound": "compute" if t_compute > t_memory else "memory",
+        "sol_us": max(t_compute, t_memory) * 1e6,
+    }

@@ -62,7 +62,16 @@ def train(cfg: DiTConfig, qcfg: DiTQuantConfig, data_iter,
     """data_iter yields (latents (B,4,h,w), labels (B,)).  Returns
     (params, ema_params)."""
     if mesh is None:
-        mesh = make_mesh(MeshPlan(data=len(jax.devices()), model=1))
+        ndev = len(jax.devices())
+        # data axis must divide the global batch
+        first = next(iter(data_iter), None)
+        assert first is not None, "empty data iterator"
+        batch = first[0].shape[0]
+        import itertools
+        data_iter = itertools.chain([first], data_iter)
+        while ndev > 1 and batch % ndev != 0:
+            ndev -= 1
+        mesh = make_mesh(MeshPlan(data=ndev, model=1))
 
     params = init_dit(jax.random.key(seed), cfg)
     ema_params = jax.tree.map(jnp.copy, params)

@@ -108,6 +108,10 @@ def build_argparser():
     p.add_argument("--t5-path", default=None)
     p.add_argument("--prompts", nargs="*", default=["an astronaut riding a horse"])
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--num-layers", type=int, default=28)
+    p.add_argument("--num-heads", type=int, default=16)
+    p.add_argument("--head-dim", type=int, default=72)
+    p.add_argument("--caption-channels", type=int, default=4096)
     p.add_argument("--num-steps", type=int, default=20)
     p.add_argument("--guidance-scale", type=float, default=4.5)
     p.add_argument("--seed", type=int, default=0)
@@ -127,7 +131,11 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    cfg = PixArtConfig(sample_size=args.image_size // 8)
+    cfg = PixArtConfig(sample_size=args.image_size // 8,
+                       num_layers=args.num_layers,
+                       num_attention_heads=args.num_heads,
+                       attention_head_dim=args.head_dim,
+                       caption_channels=args.caption_channels)
     specs = default_mx_specs(args.engine) if args.mx_quant else None
     qcfg = PixArtQuantConfig(
         mx_specs=specs, mx_quant=args.mx_quant,

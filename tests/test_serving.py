@@ -1,0 +1,48 @@
+"""Continuous-batching diffusion server tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mx_quantization_tpu.models import DiTConfig, DiTQuantConfig, dit_forward, init_dit
+from mx_quantization_tpu.serving import DiffusionServer, Request
+
+TINY = DiTConfig(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+                 depth=2, num_heads=2, num_classes=10)
+
+
+def test_continuous_batching_server():
+    params = init_dit(jax.random.key(0), TINY)
+
+    def model_fn(x, t, y):
+        return dit_forward(params, x, t, y, TINY, DiTQuantConfig())
+
+    srv = DiffusionServer(model_fn, (4, 8, 8), num_steps=4, slots=3,
+                         null_condition=10)
+    # submit 5 requests into 3 slots: continuous batching must drain all
+    for i in range(5):
+        srv.submit(Request(request_id=i, condition=i % 10))
+    results = srv.run_until_drained()
+    assert sorted(results) == [0, 1, 2, 3, 4]
+    for r in results.values():
+        assert r.latent.shape == (4, 8, 8)
+        assert np.isfinite(r.latent).all()
+        assert r.steps == 4
+
+
+def test_server_staggered_arrivals():
+    params = init_dit(jax.random.key(0), TINY)
+
+    def model_fn(x, t, y):
+        return dit_forward(params, x, t, y, TINY, DiTQuantConfig())
+
+    srv = DiffusionServer(model_fn, (4, 8, 8), num_steps=3, slots=2,
+                         null_condition=10)
+    srv.submit(Request(request_id=0, condition=1))
+    srv.step()  # slot 0 mid-flight
+    srv.submit(Request(request_id=1, condition=2))  # joins at a later step
+    results = srv.run_until_drained()
+    assert sorted(results) == [0, 1]
+    # request 1 joined while 0 was in flight (continuous batching)
+    assert results[0].steps == results[1].steps == 3

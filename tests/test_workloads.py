@@ -1,0 +1,73 @@
+"""Workload driver smoke tests (CLI mains with synthetic data) + inject
+context + profiling helpers."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_deit_eval_main_synthetic(capsys):
+    from mx_quantization_tpu.workloads.deit import main
+    stats = main(["--model", "deit_tiny_patch16_224", "--batch-size", "8",
+                  "--mx-quant", "--top-k", "--k", "16",
+                  "--engine", "ref"])
+    assert 0.0 <= stats["acc1"] <= 1.0 and stats["n"] == 8
+
+
+def test_dit_sample_main_synthetic(tmp_path):
+    from mx_quantization_tpu.workloads.dit import main
+    out = str(tmp_path / "s.npz")
+    main(["--model", "DiT-debug", "--image-size", "64", "--num-steps", "2",
+          "--classes", "1", "2", "--out", out, "--mx-quant", "--top-k",
+          "--k", "4", "--engine", "ref", "--exclude-blocks", "1"])
+    z = np.load(out)
+    assert z["latents"].shape == (2, 4, 8, 8)
+
+
+def test_dit_train_smoke():
+    from mx_quantization_tpu.workloads.dit_train import main
+    # batch must divide over the data mesh axis (8 virtual devices in tests)
+    main(["--model", "DiT-debug", "--steps", "3", "--batch", "8",
+          "--image-size", "32"])
+
+
+def test_pixart_main_synthetic(tmp_path):
+    from mx_quantization_tpu.workloads.pixart import main
+    out = str(tmp_path / "p.npz")
+    main(["--image-size", "32", "--num-steps", "2", "--out", out,
+          "--num-layers", "2", "--num-heads", "2", "--head-dim", "32",
+          "--caption-channels", "64", "--mx-quant", "--self-top-k",
+          "--self-k", "4", "--prompts", "a cat", "--engine", "ref"])
+    assert os.path.exists(out)
+
+
+def test_inject_context():
+    from mx_quantization_tpu import finalize_mx_specs
+    from mx_quantization_tpu.inject import linear, quantized
+    specs = finalize_mx_specs(dict(w_elem_format="int8",
+                                   a_elem_format="int8", scale_bits=8,
+                                   block_size=32, quantize_backprop=False))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(8, 64).astype(np.float32))
+    plain = linear(x, w)
+    with quantized(specs):
+        q = linear(x, w)
+    assert not np.allclose(np.asarray(plain), np.asarray(q))
+    # explicit specs win over ambient
+    with quantized(specs):
+        p2 = linear(x, w, mx_specs=None)  # ambient applies
+        assert np.allclose(np.asarray(p2), np.asarray(q))
+
+
+def test_roofline_helper():
+    from mx_quantization_tpu.utils.profiling import matmul_roofline
+    r = matmul_roofline(4096, 4096, 4096)
+    assert r["bound"] == "compute"
+    r2 = matmul_roofline(16, 16, 16)
+    assert r2["bound"] == "memory"
