@@ -38,13 +38,20 @@ from .specs import MxSpecs
 
 
 class TopKAttentionConfig(NamedTuple):
-    """Static attention-pruning configuration (hashable; jit-static)."""
+    """Static attention-pruning configuration (hashable; jit-static).
+
+    key_bits: ranking precision of the top-k selection on the fused engine —
+    32 = exact f32 (matches the emulation bit-for-bit), 16 = bf16-precision
+    ranking (half the selection latency; differs only between scores closer
+    than one bf16 ulp).
+    """
     mx_quant: bool = True
     top_k: bool = True
     k: int = 20
     approx_flag: bool = True
     pred_mode: str = "ex_pred"
     sparse_impl: str = "dense"
+    key_bits: int = 32
 
 
 def predict_scores(q, k, mx_specs: MxSpecs, pred_mode: str,
@@ -154,7 +161,7 @@ def topk_attention(
             q, k, v, k=cfg.k, scale=scale,
             block_size=mx_specs.block_size,
             scale_bits=mx_specs.effective_scale_bits(),
-            approx=cfg.approx_flag)
+            approx=cfg.approx_flag, key_bits=cfg.key_bits)
         return out, None
 
     if cfg.sparse_impl == "dense":

@@ -69,6 +69,7 @@ class DiTQuantConfig:
     exclude_blocks: Tuple[int, ...] = ()
     exclude_timesteps: Tuple[int, ...] = ()
     sparse_impl: str = "dense"
+    topk_key_bits: int = 32
 
     def block_attn_cfg(self, idx: int,
                        timestep_idx: Optional[int]) -> TopKAttentionConfig:
@@ -80,7 +81,8 @@ class DiTQuantConfig:
         approx = self.ex_pred and idx not in self.exclude_blocks
         return TopKAttentionConfig(
             mx_quant=True, top_k=top_k, k=self.k, approx_flag=approx,
-            pred_mode=self.pred_mode, sparse_impl=self.sparse_impl)
+            pred_mode=self.pred_mode, sparse_impl=self.sparse_impl,
+            key_bits=self.topk_key_bits)
 
 
 # ----------------------------------------------------------------------

@@ -77,11 +77,11 @@ def _exp_sign_approx(qvals, exps, block_size):
                      ).astype(jnp.bfloat16)
 
 
-def _kth_keys(keys, k, n_iters=32):
+def _kth_keys(keys, k, n_iters=32, lo_init=_IMIN, hi_init=2147483647):
     """Per-row k-th largest int32 key (rows = axis 0) via binary search."""
     R = keys.shape[0]
-    lo = jnp.full((R, 1), jnp.int32(_IMIN))
-    hi = jnp.full((R, 1), jnp.int32(2147483647))
+    lo = jnp.full((R, 1), jnp.int32(lo_init))
+    hi = jnp.full((R, 1), jnp.int32(hi_init))
 
     def body(_, state):
         lo, hi = state
@@ -100,7 +100,8 @@ def _mono_keys(x):
 
 
 def _topk_attn_kernel(qt_ref, kt_ref, v_ref, o_ref, *, block_size, mbits,
-                      scale_bits, k, scale, n_valid, d_valid, approx):
+                      scale_bits, k, scale, n_valid, d_valid, approx,
+                      key_bits):
     """One (batch*head) cell: qt/kt are (1, D, N) transposed tiles; v (1, N, D)."""
     _, D, N = qt_ref.shape
 
@@ -134,7 +135,16 @@ def _topk_attn_kernel(qt_ref, kt_ref, v_ref, o_ref, *, block_size, mbits,
     s_sel = jnp.where(key_pad, neg, s_sel)
 
     keys = _mono_keys(s_sel)
-    kth = _kth_keys(keys, k)
+    if key_bits == 16:
+        # bf16-precision ranking: keys collapse to their top 16 bits, the
+        # binary search halves to 17 iterations.  Selection differs from
+        # exact only between scores closer than one bf16 ulp — noise for an
+        # approximate predictor (ties stay exact via the rank machinery).
+        keys = jax.lax.shift_right_arithmetic(keys, 16)
+        kth = _kth_keys(keys, k, n_iters=17, lo_init=-32769,
+                        hi_init=32768)
+    else:
+        kth = _kth_keys(keys, k)
     gt = keys > kth
     eq = keys == kth
     n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
@@ -172,10 +182,12 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "scale", "block_size",
-                                             "mbits", "scale_bits", "approx"))
+                                             "mbits", "scale_bits", "approx",
+                                             "key_bits"))
 def fused_topk_attention(q, k_, v, *, k: int, scale: float,
                          block_size: int = 32, mbits: int = 8,
-                         scale_bits: int = 8, approx: bool = True):
+                         scale_bits: int = 8, approx: bool = True,
+                         key_bits: int = 32):
     """(B, H, N, D) q/k/v -> (B, H, N, D) attention output.
 
     approx=True selects by the ex_pred predictor; False by the true scores.
@@ -199,7 +211,7 @@ def fused_topk_attention(q, k_, v, *, k: int, scale: float,
     kern = functools.partial(
         _topk_attn_kernel, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, k=k, scale=scale, n_valid=N, d_valid=D,
-        approx=approx)
+        approx=approx, key_bits=key_bits)
     out = pl.pallas_call(
         kern,
         grid=(G,),

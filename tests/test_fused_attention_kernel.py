@@ -61,3 +61,17 @@ def test_fused_kernel_via_topk_attention_dispatch():
     ref = _xla_reference(q, k, v, 8, 0.125, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_key_bits_16_selection_close_to_exact():
+    """bf16-key ranking must agree with exact ranking except at sub-ulp
+    score gaps (and keep exactly k selected)."""
+    q = rand(1, 2, 128, 64, seed=20)
+    k = rand(1, 2, 128, 64, seed=21)
+    v = rand(1, 2, 128, 64, seed=22)
+    out16 = fused_topk_attention(q, k, v, k=16, scale=0.125, key_bits=16)
+    out32 = fused_topk_attention(q, k, v, k=16, scale=0.125, key_bits=32)
+    # outputs differ only where near-tie selections flipped; bulk agreement
+    a, b = np.asarray(out16), np.asarray(out32)
+    frac_same = np.mean(np.isclose(a, b, rtol=1e-4, atol=1e-5))
+    assert frac_same > 0.95, frac_same
