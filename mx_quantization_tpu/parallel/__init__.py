@@ -12,6 +12,7 @@ from .mesh import (
     make_mesh,
     shard_batch,
     shard_params_dp,
+    shard_params_fsdp,
     shard_vit_params_tp,
     shard_dit_params_tp,
 )

@@ -69,8 +69,11 @@ def _tp_rule_transformer(path: str, x):
     the rule pads the spec with None on the left to match ndim.
     """
     def pad(spec_tail):
+        # stacked-block leading (depth) axes shard over "data" (FSDP-style;
+        # XLA gathers each scan step's layer) — composing TP x FSDP
         lead = x.ndim - len(spec_tail)
-        return P(*([None] * lead + list(spec_tail)))
+        lead_spec = (["data"] + [None] * (lead - 1)) if lead else []
+        return P(*(lead_spec + list(spec_tail)))
 
     if re.search(r"(qkv|fc1)\.weight$", path):
         return pad(["model", None])  # column parallel: split out_features
@@ -96,15 +99,13 @@ def _path_str(path) -> str:
 def _shard_with_rules(mesh, params, rule_fn):
     def put(path, x):
         spec = rule_fn(_path_str(path), x)
-        # guard: only shard if the dimension divides evenly
-        for axis, name in enumerate(spec):
-            if name is None:
-                continue
-            size = mesh.shape[name]
-            if x.shape[axis] % size != 0:
-                spec = P()
-                break
-        return _put(mesh, x, spec)
+        # guard per axis: drop shardings whose dimension doesn't divide
+        fixed = [
+            name if (name is None or x.shape[axis] % mesh.shape[name] == 0)
+            else None
+            for axis, name in enumerate(spec)
+        ]
+        return _put(mesh, x, P(*fixed) if fixed else P())
     return jax.tree_util.tree_map_with_path(put, params)
 
 
@@ -116,3 +117,26 @@ def shard_vit_params_tp(mesh: Mesh, params):
 def shard_dit_params_tp(mesh: Mesh, params):
     """Tensor-parallel sharding for the DiT param tree."""
     return _shard_with_rules(mesh, params, _tp_rule_transformer)
+
+
+def shard_params_fsdp(mesh: Mesh, params, min_size: int = 2 ** 16):
+    """FSDP-style parameter sharding over the "data" axis.
+
+    Stacked block trees (models/stacked.py) shard their leading depth axis;
+    other large arrays shard their largest divisible axis.  XLA inserts the
+    per-layer all-gathers during the scan (ZeRO-3 semantics).  Small arrays
+    stay replicated.
+    """
+    data = mesh.shape["data"]
+
+    def put(path, x):
+        if data == 1 or x.size < min_size:
+            return _put(mesh, x, P())
+        for axis in range(x.ndim):
+            if x.shape[axis] % data == 0:
+                spec = [None] * x.ndim
+                spec[axis] = "data"
+                return _put(mesh, x, P(*spec))
+        return _put(mesh, x, P())
+
+    return jax.tree_util.tree_map_with_path(put, params)

@@ -155,3 +155,74 @@ def save_params(path: str, params) -> None:
 def load_params(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ----------------------------------------------------------------------
+def load_pixart_checkpoint(path: str, num_layers: int = 28):
+    """Convert a diffusers PixArtTransformer2DModel state dict (the alpha
+    256/512 safetensors the reference loads,
+    text_local_inference_alpha.py:150-154) into our PixArt param tree
+    (models/pixart.py)."""
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+        sd = load_file(path)
+    else:
+        ckpt = _torch_load(path)
+        sd = ckpt.get("state_dict", ckpt)
+
+    def t2n2(key):
+        v = sd[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v, np.float32)
+
+    def lin(prefix):
+        p = {"weight": t2n2(prefix + ".weight")}
+        if prefix + ".bias" in sd:
+            p["bias"] = t2n2(prefix + ".bias")
+        return p
+
+    p = {
+        "pos_embed": {
+            "proj": {"weight": t2n2("pos_embed.proj.weight"),
+                     "bias": t2n2("pos_embed.proj.bias")},
+            # positional table recomputed at init size; diffusers stores it
+            # as a buffer only for some variants
+        },
+        "adaln_single": {
+            "emb_mlp0": lin("adaln_single.emb.timestep_embedder.linear_1"),
+            "emb_mlp2": lin("adaln_single.emb.timestep_embedder.linear_2"),
+            "linear": lin("adaln_single.linear"),
+        },
+        "caption_projection": {
+            "linear_1": lin("caption_projection.linear_1"),
+            "linear_2": lin("caption_projection.linear_2"),
+        },
+        "scale_shift_table": t2n2("scale_shift_table"),
+        "proj_out": lin("proj_out"),
+    }
+    blocks = []
+    for i in range(num_layers):
+        pre = f"transformer_blocks.{i}."
+        blocks.append({
+            "scale_shift_table": t2n2(pre + "scale_shift_table"),
+            "attn1": {"to_q": lin(pre + "attn1.to_q"),
+                      "to_k": lin(pre + "attn1.to_k"),
+                      "to_v": lin(pre + "attn1.to_v"),
+                      "to_out": lin(pre + "attn1.to_out.0")},
+            "attn2": {"to_q": lin(pre + "attn2.to_q"),
+                      "to_k": lin(pre + "attn2.to_k"),
+                      "to_v": lin(pre + "attn2.to_v"),
+                      "to_out": lin(pre + "attn2.to_out.0")},
+            "ff": {"fc1": lin(pre + "ff.net.0.proj"),
+                   "fc2": lin(pre + "ff.net.2")},
+        })
+    from ..models.stacked import stack_blocks
+    p["blocks"] = stack_blocks(blocks)
+
+    # positional table: recompute sincos for the target grid (our forward
+    # reads pos_embed["pe"]; diffusers computes it on the fly too)
+    from ..models.dit import get_2d_sincos_pos_embed
+    d = p["proj_out"]["weight"].shape[1]
+    grid = 16  # 256px alpha model (sample_size 32, patch 2); override after
+    p["pos_embed"]["pe"] = get_2d_sincos_pos_embed(d, grid)[None]
+    return p

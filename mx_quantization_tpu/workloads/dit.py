@@ -74,11 +74,15 @@ def sample_dit(params, cfg: DiTConfig, qcfg: DiTQuantConfig,
 def sample_for_fid(params, cfg, qcfg, num_samples: int, batch: int,
                    key, rank: int = 0, world: int = 1,
                    num_steps: int = 100, cfg_scale: float = 1.5,
-                   orthogonal_matrix=None):
+                   orthogonal_matrix=None, start_index: int = 0):
     """Balanced-class sharded sample generation (reference sample_ddp.py:
-    105-171): rank r samples labels r, r+world, ... cycling over classes."""
+    105-171): rank r samples labels r, r+world, ... cycling over classes.
+
+    start_index resumes an interrupted run by skipping already-generated
+    samples (the reference's --current-num-samples manual-resume knob,
+    sample_ddp.py:170,198)."""
     labels = np.arange(num_samples) % cfg.num_classes
-    shard = labels[rank::world]
+    shard = labels[rank::world][start_index:]
     outs = []
     for i in range(0, len(shard), batch):
         key, sk = jax.random.split(key)

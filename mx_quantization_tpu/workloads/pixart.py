@@ -160,8 +160,15 @@ def main(argv=None):
         null = rng.randn(1, 120, cfg.caption_channels).astype(np.float32)
 
     if args.transformer_ckpt:
-        from ..utils.checkpoint import load_params
-        params = jax.tree.map(jnp.asarray, load_params(args.transformer_ckpt))
+        if args.transformer_ckpt.endswith((".safetensors", ".bin", ".pth",
+                                           ".pt")):
+            from ..utils.checkpoint import load_pixart_checkpoint
+            params = jax.tree.map(jnp.asarray, load_pixart_checkpoint(
+                args.transformer_ckpt, cfg.num_layers))
+        else:
+            from ..utils.checkpoint import load_params
+            params = jax.tree.map(jnp.asarray,
+                                  load_params(args.transformer_ckpt))
     else:
         print("WARNING: no --transformer-ckpt — random init (smoke test)")
         params = init_pixart(jax.random.key(0), cfg)

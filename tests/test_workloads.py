@@ -71,3 +71,27 @@ def test_roofline_helper():
     assert r["bound"] == "compute"
     r2 = matmul_roofline(16, 16, 16)
     assert r2["bound"] == "memory"
+
+
+def test_deit_train_smoke():
+    from mx_quantization_tpu.workloads.deit_train import main
+    main(["--model", "deit_tiny_patch16_224", "--steps", "3", "--batch",
+          "8", "--img-size", "32"])
+
+
+def test_fid_sharded_resume():
+    from mx_quantization_tpu.models import DiT_models, DiTQuantConfig, init_dit
+    from mx_quantization_tpu.workloads.dit import sample_for_fid
+    cfg = DiT_models["DiT-debug"](input_size=8, num_classes=10)
+    params = init_dit(jax.random.key(0), cfg)
+    qcfg = DiTQuantConfig()
+    # two ranks cover disjoint shards; resume skips
+    a = sample_for_fid(params, cfg, qcfg, num_samples=4, batch=2,
+                       key=jax.random.key(1), rank=0, world=2, num_steps=2)
+    b = sample_for_fid(params, cfg, qcfg, num_samples=4, batch=2,
+                       key=jax.random.key(1), rank=1, world=2, num_steps=2)
+    assert a.shape == (2, 4, 8, 8) and b.shape == (2, 4, 8, 8)
+    c = sample_for_fid(params, cfg, qcfg, num_samples=4, batch=2,
+                       key=jax.random.key(1), rank=0, world=2, num_steps=2,
+                       start_index=1)
+    assert c.shape == (1, 4, 8, 8)
