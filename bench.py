@@ -91,7 +91,8 @@ def main():
 
     qcfg_mx = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True,
                              k=154, ex_pred=True, pred_mode="ex_pred",
-                             exclude_blocks=(27,), topk_key_bits=16)
+                             exclude_blocks=(27,), topk_key_bits=16,
+                             activation_dtype="bfloat16")
     qcfg_fp = DiTQuantConfig(mx_quant=False)
 
     def fwd(qcfg):

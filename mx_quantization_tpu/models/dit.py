@@ -70,6 +70,9 @@ class DiTQuantConfig:
     exclude_timesteps: Tuple[int, ...] = ()
     sparse_impl: str = "dense"
     topk_key_bits: int = 32
+    # serving knob: bf16 residual stream halves elementwise HBM traffic;
+    # norm statistics stay fp32.  "float32" = reference-parity activations.
+    activation_dtype: str = "float32"
 
     def block_attn_cfg(self, idx: int,
                        timestep_idx: Optional[int]) -> TopKAttentionConfig:
@@ -196,9 +199,10 @@ def dit_attention(p: Params, x: jax.Array, cfg: DiTConfig,
 
 
 def _ln(x, eps=1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
@@ -211,8 +215,11 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
     specs = qcfg.mx_specs if qcfg.mx_quant else None
 
     pe = params["x_embedder"]
+    # reference keeps PatchEmbed unquantized; in bf16 serving mode run it
+    # single-pass bf16 (the 6-pass HIGHEST conv showed up at 6ms/step)
+    conv_prec = "default" if qcfg.activation_dtype == "bfloat16" else "highest"
     x = conv2d(x, pe["weight"], pe.get("bias"), stride=cfg.patch_size,
-               mx_specs=None)  # reference keeps PatchEmbed unquantized
+               mx_specs=None, precision=conv_prec)
     x = x.reshape(B, hs, -1).transpose(0, 2, 1) + params["pos_embed"]
 
     te = params["t_embedder"]
@@ -223,21 +230,27 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
     y_emb = params["y_embedder"]["table"][y]
     c = t_emb + y_emb
 
+    act_dtype = jnp.bfloat16 if qcfg.activation_dtype == "bfloat16" \
+        else jnp.float32
+    x = x.astype(act_dtype)
+    cb = c.astype(act_dtype)
+
     def block_body(bp, attn_cfg, x):
         mxs = specs if attn_cfg.mx_quant else None
-        mod = linear(jax.nn.silu(c), bp["adaLN"]["weight"],
-                     bp["adaLN"]["bias"])
+        mod = linear(jax.nn.silu(cb), bp["adaLN"]["weight"],
+                     bp["adaLN"]["bias"]).astype(act_dtype)
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
         h = modulate(_ln(x), shift_msa, scale_msa)
         x = x + gate_msa[:, None] * dit_attention(
-            bp["attn"], h, cfg, specs, attn_cfg, orthogonal_matrix)
+            bp["attn"], h, cfg, specs, attn_cfg,
+            orthogonal_matrix).astype(act_dtype)
         h = modulate(_ln(x), shift_mlp, scale_mlp)
         h = linear(h, bp["mlp"]["fc1"]["weight"], bp["mlp"]["fc1"]["bias"],
-                   mx_specs=mxs)
+                   mx_specs=mxs).astype(act_dtype)
         h = jax.nn.gelu(h, approximate=True)  # reference GELU(tanh)
         h = linear(h, bp["mlp"]["fc2"]["weight"], bp["mlp"]["fc2"]["bias"],
-                   mx_specs=mxs)
+                   mx_specs=mxs).astype(act_dtype)
         return x + gate_mlp[:, None] * h
 
     attn_cfgs = [qcfg.block_attn_cfg(i, timestep_idx)
@@ -248,9 +261,10 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
     mxs = specs
     mod = linear(jax.nn.silu(c), fl["adaLN"]["weight"], fl["adaLN"]["bias"],
                  mx_specs=mxs)
-    shift, scale = jnp.split(mod, 2, axis=-1)
+    shift, scale = jnp.split(mod.astype(act_dtype), 2, axis=-1)
     x = modulate(_ln(x), shift, scale)
     x = linear(x, fl["linear"]["weight"], fl["linear"]["bias"], mx_specs=mxs)
+    x = x.astype(jnp.float32)
 
     # unpatchify
     c_out = cfg.out_channels

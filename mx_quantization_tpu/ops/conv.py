@@ -41,15 +41,16 @@ def _dim_numbers(num_spatial: int):
                                           (lhs, rhs, out))
 
 
-def _conv(x, w, stride, padding, dilation, groups):
+def _conv(x, w, stride, padding, dilation, groups, precision="highest"):
     n_sp = x.ndim - 2
     dn = _dim_numbers(n_sp)
     pad = [(p, p) for p in _tup(padding, n_sp)]
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
     return jax.lax.conv_general_dilated(
         x, w, window_strides=_tup(stride, n_sp), padding=pad,
         rhs_dilation=_tup(dilation, n_sp), dimension_numbers=dn,
         feature_group_count=groups,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
         preferred_element_type=jnp.float32)
 
 
@@ -122,10 +123,16 @@ mx_conv.defvjp(_conv_fwd, _conv_bwd)
 
 
 def conv2d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1,
-           mx_specs=None):
-    """2D convolution, NCHW/OIHW layout (reference conv2d)."""
+           mx_specs=None, precision="highest"):
+    """2D convolution, NCHW/OIHW layout (reference conv2d).
+
+    precision: "highest" (fp32-grade, the parity default) or "default"
+    (single-pass bf16 MXU — the serving choice for unquantized convs)."""
     if mx_specs is None:
-        out = _conv(x, w, stride, padding, dilation, groups)
+        if precision == "default":
+            x = x.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
+        out = _conv(x, w, stride, padding, dilation, groups, precision)
         if b is not None:
             out = out + b.reshape((1, -1) + (1,) * (out.ndim - 2))
         return out

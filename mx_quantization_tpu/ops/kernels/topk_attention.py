@@ -99,14 +99,28 @@ def _mono_keys(x):
     return jnp.where(b >= 0, b, jnp.bitwise_xor(jnp.invert(b), jnp.int32(_IMIN)))
 
 
-def _topk_attn_kernel(qt_ref, kt_ref, v_ref, o_ref, *, block_size, mbits,
+def _topk_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_size, mbits,
                       scale_bits, k, scale, n_valid, d_valid, approx,
-                      key_bits):
-    """One (batch*head) cell: qt/kt are (1, D, N) transposed tiles; v (1, N, D)."""
-    _, D, N = qt_ref.shape
+                      key_bits, cells):
+    """``cells`` (batch*head) cells per grid step; q/k/v (cells, N, D).
 
-    qv, qe = _quant_axis0(qt_ref[0], block_size, mbits, scale_bits)
-    kv, ke = _quant_axis0(kt_ref[0], block_size, mbits, scale_bits)
+    q/k transpose to (D, N) happens IN-VMEM here — cheaper than the HBM
+    layout copies an XLA-side swapaxes materializes, and batching cells
+    amortizes the per-grid-step pipeline overhead.
+    """
+    for c in range(cells):
+        _one_cell(q_ref[c], k_ref[c], v_ref[c], o_ref, c,
+                  block_size=block_size, mbits=mbits, scale_bits=scale_bits,
+                  k=k, scale=scale, n_valid=n_valid, d_valid=d_valid,
+                  approx=approx, key_bits=key_bits)
+
+
+def _one_cell(q_nd, k_nd, v_nd, o_ref, c, *, block_size, mbits,
+              scale_bits, k, scale, n_valid, d_valid, approx, key_bits):
+    N, D = q_nd.shape
+
+    qv, qe = _quant_axis0(q_nd.T, block_size, mbits, scale_bits)
+    kv, ke = _quant_axis0(k_nd.T, block_size, mbits, scale_bits)
 
     dn = (((0,), (0,)), ((), ()))
     s_true = jax.lax.dot_general(qv, kv, dn,
@@ -166,10 +180,10 @@ def _topk_attn_kernel(qt_ref, kt_ref, v_ref, o_ref, *, block_size, mbits,
     # attn quantized along N (its last axis) -> transpose, blocks on sublanes
     attn_t = attn.T
     at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits)
-    v_q, _ = _quant_axis0(v_ref[0], block_size, mbits, scale_bits)
+    v_q, _ = _quant_axis0(v_nd, block_size, mbits, scale_bits)
     out = jax.lax.dot_general(at_q, v_q, dn,
                               preferred_element_type=jnp.float32)
-    o_ref[0] = out
+    o_ref[c] = out
 
 
 def _round_up(x, m):
@@ -204,29 +218,28 @@ def fused_topk_attention(q, k_, v, *, k: int, scale: float,
         return x.reshape(B * H, Np, Dp).astype(jnp.float32)
 
     qp, kp, vp = prep(q), prep(k_), prep(v)
-    qt = jnp.swapaxes(qp, 1, 2)  # (G, Dp, Np)
-    kt = jnp.swapaxes(kp, 1, 2)
 
     G = B * H
+    cells = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
     kern = functools.partial(
         _topk_attn_kernel, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, k=k, scale=scale, n_valid=N, d_valid=D,
-        approx=approx, key_bits=key_bits)
+        approx=approx, key_bits=key_bits, cells=cells)
     out = pl.pallas_call(
         kern,
-        grid=(G,),
+        grid=(G // cells,),
         in_specs=[
-            pl.BlockSpec((1, Dp, Np), lambda g: (g, 0, 0),
+            pl.BlockSpec((cells, Np, Dp), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dp, Np), lambda g: (g, 0, 0),
+            pl.BlockSpec((cells, Np, Dp), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, Dp), lambda g: (g, 0, 0),
+            pl.BlockSpec((cells, Np, Dp), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Np, Dp), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((cells, Np, Dp), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, Np, Dp), jnp.float32),
         interpret=_use_interpret(),
-    )(qt, kt, vp)
+    )(qp, kp, vp)
     out = out.reshape(B, H, Np, Dp)[:, :, :N, :D]
     return out
