@@ -41,3 +41,21 @@ def latents_to_images(latents: np.ndarray) -> np.ndarray:
     x = np.transpose(latents, (0, 2, 3, 1))
     x = np.clip(x * 127.5 + 127.5, 0, 255).astype(np.uint8)
     return x
+
+
+def extract_coco_captions(annotation_json: str, out_txt: str,
+                          limit: int = 5000) -> str:
+    """Extract COCO val captions to one-prompt-per-line text (reference
+    PixArt/evaluation/extract_coco_caption.py; produces the
+    coco2017_val5000.txt-style prompt sets)."""
+    import json as _json
+    with open(annotation_json) as f:
+        ann = _json.load(f)
+    # one caption per image, ordered by image id
+    seen = {}
+    for a in ann["annotations"]:
+        seen.setdefault(a["image_id"], a["caption"].strip().replace("\n", " "))
+    prompts = [seen[i] for i in sorted(seen)][:limit]
+    with open(out_txt, "w") as f:
+        f.write("\n".join(prompts) + "\n")
+    return out_txt

@@ -226,3 +226,24 @@ def load_pixart_checkpoint(path: str, num_layers: int = 28):
     grid = 16  # 256px alpha model (sample_size 32, patch 2); override after
     p["pos_embed"]["pe"] = get_2d_sincos_pos_embed(d, grid)[None]
     return p
+
+
+def find_model(model_name_or_path: str, depth: int = 28):
+    """Resolve a DiT checkpoint (reference download.py:18-30 find_model).
+
+    Accepts a local file path, or one of the canonical names
+    ("DiT-XL-2-256x256.pt" / "DiT-XL-2-512x512.pt") searched in
+    $DIT_CKPT_DIR and ./pretrained_models.  This environment has no network
+    access, so unlike the reference there is no auto-download — a missing
+    checkpoint raises with the public URL for manual retrieval.
+    """
+    candidates = [model_name_or_path]
+    ckpt_dir = os.environ.get("DIT_CKPT_DIR", "pretrained_models")
+    candidates.append(os.path.join(ckpt_dir, model_name_or_path))
+    for c in candidates:
+        if os.path.isfile(c):
+            return load_dit_checkpoint(c, depth=depth)
+    raise FileNotFoundError(
+        f"checkpoint {model_name_or_path!r} not found locally; download "
+        "from https://dl.fbaipublicfiles.com/DiT/models/ and place it in "
+        f"{ckpt_dir}/")
