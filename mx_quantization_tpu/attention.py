@@ -151,7 +151,11 @@ def topk_attention(
         selector = true_scores
 
     fused = mx_specs.custom_tpu == "fused"
+    # Pallas kernel eligibility: the whole (N, N) score tile must fit VMEM
+    # (~16MB): s_true + s_sel + key/mask temporaries ≈ 5 N^2 fp32 words.
+    kernel_fits = q.shape[-2] <= 512 and k.shape[-2] <= 512
     if (fused and cfg.sparse_impl == "dense" and bias is None
+            and kernel_fits
             and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
             and (cfg.pred_mode == "ex_pred" or not cfg.approx_flag)):
         # single fused Pallas kernel: quantize + scores + predictor +

@@ -62,14 +62,15 @@ def _attn(x, p):
 
 
 def _upsample(x, p):
+    # p is the upsampler conv's {weight, bias}
     N, C, H, W = x.shape
     x = jax.image.resize(x, (N, C, 2 * H, 2 * W), method="nearest")
-    return _conv(x, p["conv"])
+    return _conv(x, p)
 
 
 def _downsample(x, p):
     x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1)))
-    return _conv(x, p["conv"], stride=2, padding=0)
+    return _conv(x, p, stride=2, padding=0)
 
 
 def decode_latents(params: Dict, latents: jax.Array,

@@ -247,3 +247,23 @@ def find_model(model_name_or_path: str, depth: int = 28):
         f"checkpoint {model_name_or_path!r} not found locally; download "
         "from https://dl.fbaipublicfiles.com/DiT/models/ and place it in "
         f"{ckpt_dir}/")
+
+
+# ----------------------------------------------------------------------
+def save_sharded(path: str, params) -> None:
+    """Save a (possibly mesh-sharded) param tree with orbax — the multi-host
+    checkpoint path (each host writes its shards)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_sharded(path: str, template=None):
+    """Restore an orbax checkpoint; ``template`` (abstract arrays with
+    shardings) re-shards onto the current mesh."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), template)
+    return ckptr.restore(os.path.abspath(path))

@@ -152,3 +152,16 @@ def test_clip_score_features():
     e = rng.randn(10, 64)
     assert abs(clip_score_from_features(e, e) - 100.0) < 1e-4
     assert clip_score_from_features(e, -e) == 0.0
+
+
+def test_orbax_sharded_checkpoint(tmp_path):
+    import jax
+    from mx_quantization_tpu.utils.checkpoint import load_sharded, save_sharded
+    params = {"a": jnp.arange(16.0).reshape(4, 4), "b": {"c": jnp.ones(3)}}
+    path = str(tmp_path / "ckpt")
+    save_sharded(path, params)
+    restored = load_sharded(path)
+    np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                  np.asarray(params["a"]))
+    np.testing.assert_array_equal(np.asarray(restored["b"]["c"]),
+                                  np.asarray(params["b"]["c"]))
