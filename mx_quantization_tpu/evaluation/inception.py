@@ -135,7 +135,10 @@ def inception_features(params: Dict, images: jax.Array
     x = _inception_c(x, params["Mixed_6c"])
     x = _inception_c(x, params["Mixed_6d"])
     x = _inception_c(x, params["Mixed_6e"])
-    spatial = jnp.mean(x[:, :7], axis=(2, 3))  # ADM "spatial" features
+    # ADM "spatial" features: first 7 channels of the mixed_6e map, flattened
+    # over space (17x17x7 = 2023-dim at 299 input) — evaluator.py sFID input
+    sp = x[:, :7]
+    spatial = sp.transpose(0, 2, 3, 1).reshape(sp.shape[0], -1)
     x = _inception_d(x, params["Mixed_7a"])
     x = _inception_e(x, params["Mixed_7b"], pool="avg")
     x = _inception_e(x, params["Mixed_7c"], pool="max")

@@ -344,3 +344,109 @@ RESMLP_CONFIGS = {
     "resmlp_24": ResMlpConfig(embed_dim=384, depth=24, init_scale=1e-5),
     "resmlp_36": ResMlpConfig(embed_dim=384, depth=36, init_scale=1e-6),
 }
+
+
+# ----------------------------------------------------------------------
+# PatchConvNet (patchconvnet_models.py): conv-stem trunk of residual
+# column blocks + attention-pooling classifier
+# ----------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class PatchConvNetConfig:
+    img_size: int = 224
+    in_chans: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 384
+    depth: int = 12
+    init_scale: float = 1e-6
+    eps: float = 1e-6
+
+
+def init_patchconvnet(key: jax.Array, cfg: PatchConvNetConfig) -> Params:
+    keys = jax.random.split(key, cfg.depth + 8)
+    d = cfg.embed_dim
+    # conv stem: 4 stride-2 3x3 convs (stem downsamples 16x)
+    stem_ch = [d // 8, d // 4, d // 2, d]
+    stem = []
+    cin = cfg.in_chans
+    for i, cout in enumerate(stem_ch):
+        stem.append(conv_init(jax.random.split(keys[0], 4)[i], cin, cout,
+                              3, 3))
+        cin = cout
+    p: Params = {"stem": stem,
+                 "cls_token": trunc_normal(keys[1], (1, 1, d))}
+    blocks = []
+    for i in range(cfg.depth):
+        bk = jax.random.split(keys[2 + i], 3)
+        blocks.append({
+            "norm1": ln_init(d),
+            # column block: 1x1 conv -> 3x3 depthwise -> squeeze-excite-free
+            # 1x1 conv (kept as linear pair + depthwise here)
+            "conv1": linear_init(bk[0], d, d),
+            "dw": conv_init(bk[1], 1, d, 3, 3),  # depthwise (groups=d)
+            "conv2": linear_init(bk[2], d, d),
+            "gamma": jnp.full((d,), cfg.init_scale),
+        })
+    p["blocks"] = stack_blocks(blocks)
+    ak = jax.random.split(keys[-1], 4)
+    p["attn_pool"] = {"q": linear_init(ak[0], d, d),
+                      "k": linear_init(ak[1], d, d),
+                      "v": linear_init(ak[2], d, d),
+                      "proj": linear_init(ak[3], d, d)}
+    p["norm_pool"] = ln_init(d)
+    p["gamma_pool"] = jnp.full((d,), cfg.init_scale)
+    p["norm"] = ln_init(d)
+    p["head"] = linear_init(keys[-2], d, cfg.num_classes)
+    return p
+
+
+def patchconvnet_forward(params: Params, x: jax.Array,
+                         cfg: PatchConvNetConfig,
+                         mx_specs: Optional[MxSpecs] = None) -> jax.Array:
+    B = x.shape[0]
+    d = cfg.embed_dim
+    h = x
+    for sp in params["stem"]:
+        h = conv2d(h, sp["weight"], sp.get("bias"), stride=2, padding=1,
+                   mx_specs=mx_specs)
+        h = jax.nn.gelu(h, approximate=False)
+    N = h.shape[2] * h.shape[3]
+    side = h.shape[2]
+    tokens = h.reshape(B, d, N).transpose(0, 2, 1)  # (B, N, d)
+
+    def body(bp, _, t):
+        hh = layer_norm(t, bp["norm1"]["weight"], bp["norm1"]["bias"],
+                        eps=cfg.eps)
+        hh = linear(hh, bp["conv1"]["weight"], bp["conv1"].get("bias"),
+                    mx_specs=mx_specs)
+        hh = jax.nn.gelu(hh, approximate=False)
+        # depthwise 3x3 on the spatial grid
+        grid = hh.transpose(0, 2, 1).reshape(B, d, side, side)
+        grid = conv2d(grid, bp["dw"]["weight"], bp["dw"].get("bias"),
+                      padding=1, groups=d, mx_specs=None)
+        hh = grid.reshape(B, d, N).transpose(0, 2, 1)
+        hh = jax.nn.gelu(hh, approximate=False)
+        hh = linear(hh, bp["conv2"]["weight"], bp["conv2"].get("bias"),
+                    mx_specs=mx_specs)
+        return t + bp["gamma"] * hh
+
+    tokens = run_blocks(params["blocks"], [0] * cfg.depth, body, tokens)
+
+    # attention pooling with a class token (single head)
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, d))
+    u = jnp.concatenate([cls, tokens], axis=1)
+    u = layer_norm(u, params["norm_pool"]["weight"],
+                   params["norm_pool"]["bias"], eps=cfg.eps)
+    ap = params["attn_pool"]
+    q = linear(u[:, :1], ap["q"]["weight"], ap["q"].get("bias"),
+               mx_specs=mx_specs)
+    kk = linear(u, ap["k"]["weight"], ap["k"].get("bias"), mx_specs=mx_specs)
+    vv = linear(u, ap["v"]["weight"], ap["v"].get("bias"), mx_specs=mx_specs)
+    attn = jax.nn.softmax(q @ jnp.swapaxes(kk, -1, -2) * d ** -0.5, axis=-1)
+    pooled = attn @ vv
+    pooled = linear(pooled, ap["proj"]["weight"], ap["proj"].get("bias"),
+                    mx_specs=mx_specs)
+    cls = cls + params["gamma_pool"] * pooled
+    cls = layer_norm(cls, params["norm"]["weight"], params["norm"]["bias"],
+                     eps=cfg.eps)
+    return linear(cls[:, 0], params["head"]["weight"],
+                  params["head"].get("bias"))

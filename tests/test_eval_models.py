@@ -105,7 +105,7 @@ def test_inception_shapes():
     x = jnp.asarray(rng.rand(2, 3, 299, 299).astype(np.float32))
     pool3, spatial, preds = inception_features(p, x)
     assert pool3.shape == (2, 2048)
-    assert spatial.shape == (2, 7)
+    assert spatial.shape == (2, 17 * 17 * 7)  # ADM sFID feature dim 2023
     assert preds.shape == (2, 1008)
     np.testing.assert_allclose(np.asarray(preds).sum(-1), [1, 1], rtol=1e-4)
 

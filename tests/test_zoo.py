@@ -50,3 +50,17 @@ def test_cait():
     assert out.shape == (2, 10)
     outq = cait_forward(params, x, cfg, mx_specs=SPECS)
     assert np.isfinite(np.asarray(outq)).all()
+
+
+def test_patchconvnet():
+    from mx_quantization_tpu.models.zoo import (PatchConvNetConfig,
+                                                init_patchconvnet,
+                                                patchconvnet_forward)
+    cfg = PatchConvNetConfig(img_size=32, embed_dim=64, depth=2,
+                             num_classes=10)
+    params = init_patchconvnet(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 32, 32))
+    out = patchconvnet_forward(params, x, cfg)
+    assert out.shape == (2, 10)
+    outq = patchconvnet_forward(params, x, cfg, mx_specs=SPECS)
+    assert np.isfinite(np.asarray(outq)).all()
