@@ -26,6 +26,7 @@ Two execution strategies:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -44,6 +45,9 @@ class TopKAttentionConfig(NamedTuple):
     32 = exact f32 (matches the emulation bit-for-bit), 16 = bf16-precision
     ranking (half the selection latency; differs only between scores closer
     than one bf16 ulp).
+    out_dtype: output dtype of the fused kernel ("float32" parity default;
+    "bfloat16" halves the output HBM write in bf16-activation serving, where
+    the consumer casts to bf16 immediately anyway).
     """
     mx_quant: bool = True
     top_k: bool = True
@@ -52,6 +56,7 @@ class TopKAttentionConfig(NamedTuple):
     pred_mode: str = "ex_pred"
     sparse_impl: str = "dense"
     key_bits: int = 32
+    out_dtype: str = "float32"
 
 
 def predict_scores(q, k, mx_specs: MxSpecs, pred_mode: str,
@@ -104,6 +109,45 @@ def _sparse_softmax_threshold(true_scores, pred_scores, k: int):
     m = jnp.max(masked, axis=-1, keepdims=True)
     e = jnp.where(sel, jnp.exp(true_scores - m), 0.0)
     return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _xla_topk_dense(q, k, v, scale, mx_specs, cfg):
+    """The XLA fused-path equivalent of the Pallas kernel (no bias,
+    dense sparse_impl) — used as the kernel's differentiation surrogate."""
+    true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=mx_specs,
+                         mode_config="aa") * scale
+    selector = (predict_scores(q, k, mx_specs, cfg.pred_mode)
+                if cfg.approx_flag else true_scores)
+    attn = _sparse_softmax_threshold(true_scores, selector, cfg.k)
+    return matmul(attn, v, mx_specs=mx_specs, mode_config="aa")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_topk_attention_ad(q, k, v, scale, mx_specs, cfg):
+    """Pallas fused forward with a rematerializing backward: the kernel has
+    no VJP, so gradients flow through the numerics-equivalent XLA path
+    (same quantized-op custom_vjps as the emulation engine)."""
+    from .ops.kernels.topk_attention import fused_topk_attention
+    return fused_topk_attention(
+        q, k, v, k=cfg.k, scale=scale, block_size=mx_specs.block_size,
+        scale_bits=mx_specs.effective_scale_bits(),
+        approx=cfg.approx_flag, key_bits=cfg.key_bits,
+        out_dtype=jnp.dtype(cfg.out_dtype))
+
+
+def _fused_ad_fwd(q, k, v, scale, mx_specs, cfg):
+    return _fused_topk_attention_ad(q, k, v, scale, mx_specs, cfg), (q, k, v)
+
+
+def _fused_ad_bwd(scale, mx_specs, cfg, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_topk_dense(q, k, v, scale, mx_specs, cfg),
+        q, k, v)
+    return vjp(g)
+
+
+_fused_topk_attention_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
 
 
 def topk_attention(
@@ -159,13 +203,9 @@ def topk_attention(
             and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
             and (cfg.pred_mode == "ex_pred" or not cfg.approx_flag)):
         # single fused Pallas kernel: quantize + scores + predictor +
-        # selection + masked softmax + PV, all in VMEM
-        from .ops.kernels.topk_attention import fused_topk_attention
-        out = fused_topk_attention(
-            q, k, v, k=cfg.k, scale=scale,
-            block_size=mx_specs.block_size,
-            scale_bits=mx_specs.effective_scale_bits(),
-            approx=cfg.approx_flag, key_bits=cfg.key_bits)
+        # selection + masked softmax + PV, all in VMEM; differentiable via
+        # the XLA-path surrogate VJP
+        out = _fused_topk_attention_ad(q, k, v, scale, mx_specs, cfg)
         return out, None
 
     if cfg.sparse_impl == "dense":

@@ -27,7 +27,8 @@ import numpy as np
 from ..attention import TopKAttentionConfig, topk_attention
 from ..ops import conv2d, linear
 from ..specs import MxSpecs
-from .common import Params, conv_init, linear_init, zeros_linear
+from .common import (Params, conv_init, linear_init, patch_embed,
+                     zeros_linear)
 from .stacked import run_blocks, stack_blocks
 
 
@@ -85,7 +86,9 @@ class DiTQuantConfig:
         return TopKAttentionConfig(
             mx_quant=True, top_k=top_k, k=self.k, approx_flag=approx,
             pred_mode=self.pred_mode, sparse_impl=self.sparse_impl,
-            key_bits=self.topk_key_bits)
+            key_bits=self.topk_key_bits,
+            out_dtype=("bfloat16" if self.activation_dtype == "bfloat16"
+                       else "float32"))
 
 
 # ----------------------------------------------------------------------
@@ -189,6 +192,10 @@ def dit_attention(p: Params, x: jax.Array, cfg: DiTConfig,
     H, D = cfg.num_heads, cfg.head_dim
     mxs = specs if attn_cfg.mx_quant else None
     qkv = linear(x, p["qkv"]["weight"], p["qkv"].get("bias"), mx_specs=mxs)
+    if attn_cfg.out_dtype == "bfloat16":
+        # bf16 serving: the (B,H,N,D) relayout copies and the kernel reads
+        # move half the bytes (bf16 keeps the full 8-bit MXINT mantissa)
+        qkv = qkv.astype(jnp.bfloat16)
     qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     out, _ = topk_attention(q, k, v, D ** -0.5, mxs, attn_cfg,
@@ -215,12 +222,13 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
     specs = qcfg.mx_specs if qcfg.mx_quant else None
 
     pe = params["x_embedder"]
-    # reference keeps PatchEmbed unquantized; in bf16 serving mode run it
-    # single-pass bf16 (the 6-pass HIGHEST conv showed up at 6ms/step)
+    # reference keeps PatchEmbed unquantized; stride==kernel conv runs as an
+    # im2col matmul (models/common.py patch_embed); in bf16 serving mode it
+    # runs single-pass bf16
     conv_prec = "default" if qcfg.activation_dtype == "bfloat16" else "highest"
-    x = conv2d(x, pe["weight"], pe.get("bias"), stride=cfg.patch_size,
-               mx_specs=None, precision=conv_prec)
-    x = x.reshape(B, hs, -1).transpose(0, 2, 1) + params["pos_embed"]
+    x = patch_embed(x, pe["weight"], pe.get("bias"), cfg.patch_size,
+                    precision=conv_prec)
+    x = x + params["pos_embed"]
 
     te = params["t_embedder"]
     t_emb = timestep_embedding(t, 256)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..attention import TopKAttentionConfig, topk_attention
 from ..ops import conv2d, linear
 from ..specs import MxSpecs
-from .common import Params, linear_init, zeros_linear
+from .common import Params, linear_init, patch_embed, zeros_linear
 from .dit import get_2d_sincos_pos_embed, timestep_embedding
 from .stacked import run_blocks, stack_blocks
 
@@ -206,9 +206,9 @@ def pixart_forward(params: Params, hidden_states: jax.Array,
         bias = encoder_attention_mask
 
     pe = params["pos_embed"]
-    x = conv2d(hidden_states, pe["proj"]["weight"], pe["proj"].get("bias"),
-               stride=cfg.patch_size, mx_specs=None)
-    x = x.reshape(B, d, -1).transpose(0, 2, 1) + pe["pe"]
+    x = patch_embed(hidden_states, pe["proj"]["weight"],
+                    pe["proj"].get("bias"), cfg.patch_size)
+    x = x + pe["pe"]
 
     # AdaLayerNormSingle: sinusoidal t -> mlp -> 6-way modulation
     ada = params["adaln_single"]

@@ -88,3 +88,25 @@ def quantize_mx_fast(x: jax.Array, elem_format: str, block_size: int,
     if pad:
         out = jax.lax.slice_in_dim(out, 0, n, axis=axis)
     return out
+
+
+def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
+                        scale_bits: int = 8, axis: int = -1,
+                        out_dtype=jnp.bfloat16) -> jax.Array:
+    """Serving-path MX quantize: route to the one-pass Pallas kernel on TPU.
+
+    The XLA lowering of the blocked reshape (quantize_mx_fast) costs ~7x the
+    memory-bound ideal on TPU (minor-dim-32 relayouts); the Pallas kernel
+    (kernels/quantize.py) is a single HBM read+write.  Identical values —
+    parity is covered by tests/test_fastpath.py; non-TPU backends and ragged
+    block tails keep the XLA path.
+    """
+    axis = axis % x.ndim
+    K = x.shape[axis]
+    if (axis == x.ndim - 1 and K % block_size == 0
+            and jax.default_backend() == "tpu" and x.size >= (1 << 16)):
+        from .kernels.quantize import mx_quantize_pallas
+        return mx_quantize_pallas(x, elem_format, block_size, scale_bits,
+                                  out_dtype=out_dtype)
+    return quantize_mx_fast(x, elem_format, block_size, scale_bits,
+                            axis=axis, out_dtype=out_dtype)

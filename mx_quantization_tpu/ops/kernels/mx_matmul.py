@@ -99,6 +99,7 @@ def mx_matmul_pallas(a: jax.Array, b: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
     )(a.astype(jnp.float32), b.astype(jnp.float32))
     if pm or pn:
         out = out[:M, :N]

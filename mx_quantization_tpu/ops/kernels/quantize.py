@@ -24,6 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ...formats import format_params
 
 
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
 # NOTE (Mosaic layout): the minor (lane) dimension cannot be reshaped into
 # 32-wide blocks inside a TPU kernel ("unsupported shape cast"), so in-kernel
 # quantization always places the shared-exponent blocks on the SUBLANE axis
@@ -37,7 +41,7 @@ def _quantize_block_values_axis0(x, block_size: int, mbits: int,
     transpose."""
     K, N = x.shape
     nb = K // block_size
-    xb = x.reshape(nb, block_size, N)
+    xb = x.astype(jnp.float32).reshape(nb, block_size, N)
 
     bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
     mb = jnp.max(bits, axis=1, keepdims=True)
@@ -83,7 +87,12 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
     orig_shape = x.shape
     K = orig_shape[-1]
     assert K % block_size == 0, (K, block_size)
-    x2 = x.reshape(-1, K).astype(jnp.float32)
+    # keep the input dtype: a bf16 input is cast to f32 in-VMEM inside the
+    # kernel, saving a full HBM round-trip vs materializing the f32 copy
+    # (bf16->f32 is exact, so the result is identical)
+    x2 = x.reshape(-1, K)
+    if x2.dtype not in (jnp.float32, jnp.bfloat16):
+        x2 = x2.astype(jnp.float32)
     M = x2.shape[0]
 
     tm = min(tile_rows, M)
@@ -102,6 +111,7 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
         out_specs=pl.BlockSpec((tm, K), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(((M + pad), K), out_dtype),
+        interpret=_use_interpret(),
     )(x2)
     if pad:
         out = out[:M]
@@ -148,6 +158,7 @@ def mx_quantize_pallas_axis2(x: jax.Array, elem_format: str = "int8",
             out_specs=pl.BlockSpec((K, tn), lambda j: (0, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((K, N + pad), out_dtype),
+            interpret=_use_interpret(),
         )(x2)
 
     out = jax.vmap(one)(x3)

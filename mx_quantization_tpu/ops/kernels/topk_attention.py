@@ -101,52 +101,67 @@ def _mono_keys(x):
 
 def _topk_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_size, mbits,
                       scale_bits, k, scale, n_valid, d_valid, approx,
-                      key_bits, cells):
+                      key_bits, cells, out_dtype):
     """``cells`` (batch*head) cells per grid step; q/k/v (cells, N, D).
 
-    q/k transpose to (D, N) happens IN-VMEM here — cheaper than the HBM
-    layout copies an XLA-side swapaxes materializes, and batching cells
-    amortizes the per-grid-step pipeline overhead.
+    q/k transpose to (D, N), f32 casts, and head-dim block padding all
+    happen IN-VMEM here — cheaper than the HBM layout copies an XLA-side
+    swapaxes/pad/astype materializes, and batching cells amortizes the
+    per-grid-step pipeline overhead.
     """
     for c in range(cells):
         _one_cell(q_ref[c], k_ref[c], v_ref[c], o_ref, c,
                   block_size=block_size, mbits=mbits, scale_bits=scale_bits,
                   k=k, scale=scale, n_valid=n_valid, d_valid=d_valid,
-                  approx=approx, key_bits=key_bits)
+                  approx=approx, key_bits=key_bits, out_dtype=out_dtype)
 
 
 def _one_cell(q_nd, k_nd, v_nd, o_ref, c, *, block_size, mbits,
-              scale_bits, k, scale, n_valid, d_valid, approx, key_bits):
+              scale_bits, k, scale, n_valid, d_valid, approx, key_bits,
+              out_dtype):
     N, D = q_nd.shape
+    # transpose first (bf16 transposes are fine), cast to f32 after, and pad
+    # the head dim to the block size on SUBLANES in-VMEM — all cheaper than
+    # the XLA-side pad+cast HBM round-trips they replace
+    Dp = _round_up(max(d_valid, 8), block_size)
+    dpad = Dp - D
 
-    qv, qe = _quant_axis0(q_nd.T, block_size, mbits, scale_bits)
-    kv, ke = _quant_axis0(k_nd.T, block_size, mbits, scale_bits)
+    def prep_t(x_nd):
+        xt = x_nd.T.astype(jnp.float32)
+        if dpad:
+            xt = jnp.concatenate(
+                [xt, jnp.zeros((dpad, N), jnp.float32)], axis=0)
+        return xt
+
+    qv, qe = _quant_axis0(prep_t(q_nd), block_size, mbits, scale_bits)
+    kv, ke = _quant_axis0(prep_t(k_nd), block_size, mbits, scale_bits)
 
     dn = (((0,), (0,)), ((), ()))
     s_true = jax.lax.dot_general(qv, kv, dn,
                                  preferred_element_type=jnp.float32) * scale
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-    key_pad = col >= n_valid  # padded key columns
-
+    neg = jnp.full((N, N), -3.0e38, jnp.float32)
     if approx:
         aq = _exp_sign_approx(qv, qe, block_size)
         ak = _exp_sign_approx(kv, ke, block_size)
-        # padded head-dim rows would contribute sign(0)*2^e; the reference
-        # slices the block padding away (mx_ops.py:164-174) — mask them.
-        # (an f32 0/1 row mask avoids a Mosaic i1-relayout limitation)
-        drow = jax.lax.broadcasted_iota(jnp.int32, (D, N), 0)
-        dmask = jnp.minimum(
-            jnp.maximum(jnp.float32(d_valid) - drow.astype(jnp.float32),
-                        0.0), 1.0).astype(jnp.bfloat16)
-        aq = aq * dmask
-        ak = ak * dmask
+        if d_valid < Dp:
+            # padded head-dim rows would contribute sign(0)*2^e; the
+            # reference slices the block padding away (mx_ops.py:164-174) —
+            # mask them.  (an f32 0/1 row mask avoids a Mosaic i1-relayout
+            # limitation)
+            drow = jax.lax.broadcasted_iota(jnp.int32, (Dp, N), 0)
+            dmask = jnp.minimum(
+                jnp.maximum(jnp.float32(d_valid) - drow.astype(jnp.float32),
+                            0.0), 1.0).astype(jnp.bfloat16)
+            aq = aq * dmask
+            ak = ak * dmask
         s_sel = jax.lax.dot_general(aq, ak, dn,
                                     preferred_element_type=jnp.float32)
     else:
         s_sel = s_true
-    neg = jnp.full((N, N), -3.0e38, jnp.float32)
-    s_sel = jnp.where(key_pad, neg, s_sel)
+    if n_valid < N:
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        s_sel = jnp.where(col >= n_valid, neg, s_sel)  # padded key columns
 
     keys = _mono_keys(s_sel)
     if key_bits == 16:
@@ -180,10 +195,11 @@ def _one_cell(q_nd, k_nd, v_nd, o_ref, c, *, block_size, mbits,
     # attn quantized along N (its last axis) -> transpose, blocks on sublanes
     attn_t = attn.T
     at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits)
-    v_q, _ = _quant_axis0(v_nd, block_size, mbits, scale_bits)
+    v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
+                          scale_bits)
     out = jax.lax.dot_general(at_q, v_q, dn,
                               preferred_element_type=jnp.float32)
-    o_ref[c] = out
+    o_ref[c] = out.astype(out_dtype)
 
 
 def _round_up(x, m):
@@ -197,25 +213,26 @@ def _use_interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("k", "scale", "block_size",
                                              "mbits", "scale_bits", "approx",
-                                             "key_bits"))
+                                             "key_bits", "out_dtype"))
 def fused_topk_attention(q, k_, v, *, k: int, scale: float,
                          block_size: int = 32, mbits: int = 8,
                          scale_bits: int = 8, approx: bool = True,
-                         key_bits: int = 32):
-    """(B, H, N, D) q/k/v -> (B, H, N, D) attention output.
+                         key_bits: int = 32, out_dtype=jnp.float32):
+    """(B, H, N, D) q/k/v -> (B, H, N, D) attention output in ``out_dtype``.
 
     approx=True selects by the ex_pred predictor; False by the true scores.
-    N and D are padded internally (zero pads quantize to zero and padded key
-    columns are excluded from selection).
+    N is padded to the sequence tile (zero pads quantize to zero and padded
+    key columns are excluded from selection); the head dim is padded to the
+    MX block in-VMEM.  Inputs keep their dtype (bf16 reads half the HBM
+    traffic; the kernel casts to f32 in-register — exact).
     """
     B, H, N, D = q.shape
     Np = _round_up(N, 128)
-    Dp = _round_up(D, block_size)
-    Dp = _round_up(Dp, 8)  # sublane alignment for the transposed tiles
 
     def prep(x):
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, Np - N), (0, Dp - D)))
-        return x.reshape(B * H, Np, Dp).astype(jnp.float32)
+        if Np != N:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Np - N), (0, 0)))
+        return x.reshape(B * H, Np, D)
 
     qp, kp, vp = prep(q), prep(k_), prep(v)
 
@@ -224,22 +241,24 @@ def fused_topk_attention(q, k_, v, *, k: int, scale: float,
     kern = functools.partial(
         _topk_attn_kernel, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, k=k, scale=scale, n_valid=N, d_valid=D,
-        approx=approx, key_bits=key_bits, cells=cells)
+        approx=approx, key_bits=key_bits, cells=cells, out_dtype=out_dtype)
     out = pl.pallas_call(
         kern,
         grid=(G // cells,),
         in_specs=[
-            pl.BlockSpec((cells, Np, Dp), lambda g: (g, 0, 0),
+            pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cells, Np, Dp), lambda g: (g, 0, 0),
+            pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cells, Np, Dp), lambda g: (g, 0, 0),
+            pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cells, Np, Dp), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, Np, Dp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, Np, D), out_dtype),
         interpret=_use_interpret(),
     )(qp, kp, vp)
-    out = out.reshape(B, H, Np, Dp)[:, :, :N, :D]
+    out = out.reshape(B, H, Np, D)
+    if Np != N:
+        out = out[:, :, :N]
     return out

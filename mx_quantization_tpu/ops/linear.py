@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from .elemwise import quantize_elemwise_op
-from .fastquant import bf_fast, fused_eligible, quantize_mx_fast
+from .fastquant import (bf_fast, fused_eligible, quantize_mx_fast,
+                        quantize_mx_serving)
 from .mx import quantize_mx_op
 
 _INT_FMTS = ("int8", "int4", "int2")
@@ -102,7 +103,7 @@ def _linear_fwd_fast(x, w, b, specs):
     sb = specs.effective_scale_bits()
     bf_x = bf_fast(x, specs)
     bf_w = bf_fast(w, specs)
-    qx = quantize_mx_fast(bf_x, specs.a_elem_format, bs, sb, axis=-1)
+    qx = quantize_mx_serving(bf_x, specs.a_elem_format, bs, sb, axis=-1)
     if specs.prequantized_weights:
         qw = w.astype(jnp.bfloat16)  # already on the MX grid
     else:
@@ -212,7 +213,7 @@ def _matmul_fwd_fast(a, b, specs, fmt1, fmt2):
     sb = specs.effective_scale_bits()
     bf_a = bf_fast(a, specs)
     bf_b = bf_fast(b, specs)
-    qa = quantize_mx_fast(bf_a, fmt1, bs, sb, axis=-1)
+    qa = quantize_mx_serving(bf_a, fmt1, bs, sb, axis=-1)
     qb = quantize_mx_fast(bf_b, fmt2, bs, sb, axis=-2)
     out = jnp.matmul(qa, qb, preferred_element_type=jnp.float32)
     out = bf_fast(out, specs)

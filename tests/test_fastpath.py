@@ -106,3 +106,56 @@ def test_topk_mask_matches_topk_with_ties():
     ref = np.zeros(s.shape, bool)
     np.put_along_axis(ref, np.asarray(idx), True, axis=-1)
     np.testing.assert_array_equal(mask, ref)
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((8, 256, 64), jnp.float32),     # fused-attention style (K=64)
+    ((300, 1152), jnp.bfloat16),     # DiT hidden, bf16 serving input
+    ((64, 4608), jnp.float32),       # fc2 input width
+])
+def test_pallas_quantize_kernel_matches_xla(shape, dtype):
+    """mx_quantize_pallas (interpret on CPU) == quantize_mx_fast, bit-equal."""
+    from mx_quantization_tpu.ops.fastquant import quantize_mx_fast
+    from mx_quantization_tpu.ops.kernels.quantize import mx_quantize_pallas
+    x = rand(*shape, seed=21, scale=3.0).astype(dtype)
+    ref = quantize_mx_fast(x, "int8", 32, 8, axis=-1)
+    got = mx_quantize_pallas(x, "int8", 32, 8)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(got, np.float32))
+
+
+def test_quantize_mx_serving_dispatch():
+    """quantize_mx_serving matches quantize_mx_fast on every input class
+    (kernel-eligible, ragged block tail, non-last axis)."""
+    from mx_quantization_tpu.ops.fastquant import (quantize_mx_fast,
+                                                   quantize_mx_serving)
+    for shape, axis in [((256, 1152), -1), ((16, 72), -1), ((64, 32, 5), 1)]:
+        x = rand(*shape, seed=22)
+        ref = quantize_mx_fast(x, "int8", 32, 8, axis=axis)
+        got = quantize_mx_serving(x, "int8", 32, 8, axis=axis)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_fused_attention_kernel_is_differentiable():
+    """Training through the fused Pallas attention must not fail and must
+    produce the XLA fused path's gradients (the surrogate-VJP contract).
+    Regression: jax.grad through fused_topk_attention raised before the
+    custom_vjp wrapper existed."""
+    import jax
+    from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                               topk_attention)
+    q = rand(1, 2, 32, 64, seed=31)
+    k = rand(1, 2, 32, 64, seed=32)
+    v = rand(1, 2, 32, 64, seed=33)
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=8,
+                              approx_flag=True, pred_mode="ex_pred")
+
+    def loss(specs, q, k, v):
+        out, _ = topk_attention(q, k, v, 0.125, specs, cfg)
+        return jnp.sum(out ** 2)
+
+    gf = jax.grad(loss, argnums=(1, 2, 3))(FUSED, q, k, v)
+    gr = jax.grad(loss, argnums=(1, 2, 3))(REF, q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
