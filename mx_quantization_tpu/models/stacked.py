@@ -43,27 +43,34 @@ def run_blocks(stacked, cfgs: Sequence[Any], body: Callable, x,
                unroll_threshold: int = 1):
     """Apply ``body(block_params, cfg, x) -> x`` for each block in order.
 
-    Consecutive blocks with equal (hashable) ``cfg`` execute as one
-    ``lax.scan`` over their stacked params; singleton runs are unrolled.
+    All blocks execute under ONE ``lax.scan`` over the full stacked params;
+    blocks whose static ``cfg`` differs (e.g. exclude_blocks) dispatch via
+    ``lax.switch`` on a scanned per-block flag.  Slicing the stack into
+    homogeneous runs instead (the previous design) made XLA materialize a
+    copy of every sliced weight stack on each step — 6.5 ms/step (~8%) on
+    the DiT-XL/2 bench.
     """
     depth = len(cfgs)
-    runs: List[tuple] = []  # (start, stop, cfg)
-    start = 0
-    for i in range(1, depth + 1):
-        if i == depth or cfgs[i] != cfgs[start]:
-            runs.append((start, i, cfgs[start]))
-            start = i
+    uniq: List[Any] = []
+    for c in cfgs:
+        if not any(c == u for u in uniq):
+            uniq.append(c)
 
-    for (s, e, cfg) in runs:
-        n = e - s
-        if n <= unroll_threshold:
-            for i in range(s, e):
-                x = body(unstack_block(stacked, i), cfg, x)
-        else:
-            seg = slice_blocks(stacked, s, e)
+    if len(uniq) == 1:
+        def scan_body(carry, bp):
+            return body(bp, cfgs[0], carry), None
 
-            def scan_body(carry, bp, cfg=cfg):
-                return body(bp, cfg, carry), None
+        x, _ = jax.lax.scan(scan_body, x, stacked)
+        return x
 
-            x, _ = jax.lax.scan(scan_body, x, seg)
+    flags = jnp.asarray([next(j for j, u in enumerate(uniq) if c == u)
+                         for c in cfgs], jnp.int32)
+    branches = [(lambda bp, carry, cfg=cfg: body(bp, cfg, carry))
+                for cfg in uniq]
+
+    def scan_body(carry, xs):
+        bp, flag = xs
+        return jax.lax.switch(flag, branches, bp, carry), None
+
+    x, _ = jax.lax.scan(scan_body, x, (stacked, flags))
     return x

@@ -1,0 +1,360 @@
+"""Ablation sweep inside the fused top-k attention kernel: switch off
+pieces to locate the in-kernel cost.  Standalone copy of the production
+kernel (ops/kernels/topk_attention.py) with static `mode` switches.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+os.makedirs("/root/repo/.cache/jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from mx_quantization_tpu.ops.kernels.topk_attention import (
+    _exp_sign_approx, _kth_keys, _mono_keys, _quant_axis0, _round_up)
+
+B, H, N, D = 16, 16, 256, 72
+K = 154
+BS, MBITS, SB = 32, 8, 8
+SCALE = D ** -0.5
+CELLS = 4
+G = B * H
+
+
+def _cell(q_nd, k_nd, v_nd, o_ref, c, mode):
+    Dp = _round_up(D, BS)
+    dpad = Dp - D
+
+    def prep_t(x_nd):
+        xt = x_nd.T.astype(jnp.float32)
+        if dpad:
+            xt = jnp.concatenate([xt, jnp.zeros((dpad, N), jnp.float32)], 0)
+        return xt
+
+    if "noquant" in mode:
+        qv = prep_t(q_nd).astype(jnp.bfloat16)
+        kv = prep_t(k_nd).astype(jnp.bfloat16)
+        qe = ke = None
+    else:
+        qv, qe = _quant_axis0(prep_t(q_nd), BS, MBITS, SB)
+        kv, ke = _quant_axis0(prep_t(k_nd), BS, MBITS, SB)
+
+    dn = (((0,), (0,)), ((), ()))
+    s_true = jax.lax.dot_general(qv, kv, dn,
+                                 preferred_element_type=jnp.float32) * SCALE
+
+    neg = jnp.full((N, N), -3.0e38, jnp.float32)
+    if "nopred" in mode or "noquant" in mode:
+        s_sel = s_true
+    else:
+        aq = _exp_sign_approx(qv, qe, BS)
+        ak = _exp_sign_approx(kv, ke, BS)
+        drow = jax.lax.broadcasted_iota(jnp.int32, (Dp, N), 0)
+        dmask = jnp.minimum(jnp.maximum(
+            jnp.float32(D) - drow.astype(jnp.float32), 0.0), 1.0
+        ).astype(jnp.bfloat16)
+        aq = aq * dmask
+        ak = ak * dmask
+        s_sel = jax.lax.dot_general(aq, ak, dn,
+                                    preferred_element_type=jnp.float32)
+
+    if "nosel" in mode:
+        sel = s_sel > neg  # all true
+    else:
+        keys = jax.lax.shift_right_arithmetic(_mono_keys(s_sel), 16)
+        kth = _kth_keys(keys, K, n_iters=17, lo_init=-32769, hi_init=32768)
+        gt = keys > kth
+        eq = keys == kth
+        n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
+        if "norank" in mode:
+            sel = gt | eq
+        else:
+            tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <=
+                   jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+                   ).astype(jnp.float32).astype(jnp.bfloat16)
+            rank = jax.lax.dot_general(
+                eq.astype(jnp.float32).astype(jnp.bfloat16), tri,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            sel = gt | (eq & (rank <= (K - n_gt).astype(jnp.float32)))
+
+    masked = jnp.where(sel, s_true, neg)
+    m = jnp.max(masked, axis=1, keepdims=True)
+    e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
+    attn = e / jnp.sum(e, axis=1, keepdims=True)
+
+    if "noaq" in mode:
+        at_q = attn.T.astype(jnp.bfloat16)
+        v_q = v_nd.astype(jnp.float32).astype(jnp.bfloat16)
+    elif "noat" in mode:
+        # quantize WITHOUT the transpose (wrong blocks: along queries) just
+        # to time the transpose itself
+        at_q, _ = _quant_axis0(attn, BS, MBITS, SB)
+        v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
+    else:
+        at_q, _ = _quant_axis0(attn.T, BS, MBITS, SB)
+        v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
+    out = jax.lax.dot_general(at_q, v_q, dn,
+                              preferred_element_type=jnp.float32)
+    o_ref[c] = out.astype(jnp.bfloat16)
+
+
+def make(mode):
+    def kern(q_ref, k_ref, v_ref, o_ref):
+        for c in range(CELLS):
+            _cell(q_ref[c], k_ref[c], v_ref[c], o_ref, c, mode)
+
+    @jax.jit
+    def run(q, k, v):
+        return pl.pallas_call(
+            kern,
+            grid=(G // CELLS,),
+            in_specs=[pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, N, D), jnp.bfloat16),
+        )(q, k, v)
+
+    return run
+
+
+def timed_chain(fn, q, k, v, n0=1, n1=8, reps=3):
+    @jax.jit
+    def fetch(x):
+        return jnp.sum(x.astype(jnp.float32))
+
+    o = fn(q, k, v)
+    _ = np.asarray(fetch(o))
+
+    def run(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = q
+            for _ in range(n):
+                o = fn(o, k, v)
+            _ = np.asarray(fetch(o))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(n1) - run(n0)) / (n1 - n0)
+
+
+q = jax.random.normal(jax.random.key(0), (G, N, D), jnp.bfloat16)
+k = jax.random.normal(jax.random.key(1), (G, N, D), jnp.bfloat16)
+v = jax.random.normal(jax.random.key(2), (G, N, D), jnp.bfloat16)
+
+for mode in ["full", "nopred", "nosel", "norank", "noaq", "noat",
+             "noquant+nosel+noaq"]:
+    t = timed_chain(make(mode), q, k, v)
+    print(f"{mode}: {t*1e6:.0f}us/call", flush=True)
+
+
+# ---- i16-packed selection variant -------------------------------------
+_I16MIN = -32768
+
+
+def _cell_i16(q_nd, k_nd, v_nd, o_ref, c):
+    Dp = _round_up(D, BS)
+    dpad = Dp - D
+
+    def prep_t(x_nd):
+        xt = x_nd.T.astype(jnp.float32)
+        if dpad:
+            xt = jnp.concatenate([xt, jnp.zeros((dpad, N), jnp.float32)], 0)
+        return xt
+
+    qv, qe = _quant_axis0(prep_t(q_nd), BS, MBITS, SB)
+    kv, ke = _quant_axis0(prep_t(k_nd), BS, MBITS, SB)
+
+    dn = (((0,), (0,)), ((), ()))
+    s_true = jax.lax.dot_general(qv, kv, dn,
+                                 preferred_element_type=jnp.float32) * SCALE
+
+    aq = _exp_sign_approx(qv, qe, BS)
+    ak = _exp_sign_approx(kv, ke, BS)
+    drow = jax.lax.broadcasted_iota(jnp.int32, (Dp, N), 0)
+    dmask = jnp.minimum(jnp.maximum(
+        jnp.float32(D) - drow.astype(jnp.float32), 0.0), 1.0
+    ).astype(jnp.bfloat16)
+    aq = aq * dmask
+    ak = ak * dmask
+    s_sel = jax.lax.dot_general(aq, ak, dn,
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.bfloat16)
+
+    # bf16 scores -> monotone i16 keys (packed (16,128) layouts throughout)
+    b = jax.lax.bitcast_convert_type(s_sel, jnp.int16)
+    keys = jnp.where(b >= 0, b,
+                     jnp.bitwise_xor(jnp.invert(b), jnp.int16(_I16MIN)))
+
+    one16 = jnp.ones((N, N), jnp.bfloat16)
+    zero16 = jnp.zeros((N, N), jnp.bfloat16)
+    lo = jnp.full((N, 1), jnp.int16(_I16MIN))
+    hi = jnp.full((N, 1), jnp.int16(32767))
+    kf = jnp.float32(K)
+
+    def body(_, state):
+        lo, hi = state
+        # mid = lo + (hi - lo) // 2 in i16 without overflow: widen via i32
+        mid = (lo.astype(jnp.int32) +
+               ((hi.astype(jnp.int32) - lo.astype(jnp.int32)) >> 1)
+               ).astype(jnp.int16)
+        gt = jnp.where(keys > mid, one16, zero16)
+        # counts <= 256 are bf16-exact; compare in i16 so the select mask
+        # stays in the packed (16,128) layout (no i1 relayout)
+        cnt = jnp.sum(gt, axis=1, keepdims=True).astype(jnp.int16)
+        up = cnt >= jnp.int16(K)
+        return (jnp.where(up, mid + jnp.int16(1), lo),
+                jnp.where(up, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, 16, body, (lo, hi))
+    kth = lo
+
+    gtb = jnp.where(keys > kth, one16, zero16)
+    eqb = jnp.where(keys == kth, one16, zero16)
+    n_gt = jnp.sum(gtb, axis=1, keepdims=True).astype(jnp.float32)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+           ).astype(jnp.float32).astype(jnp.bfloat16)
+    rank = jax.lax.dot_general(eqb, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    sel = (gtb.astype(jnp.float32) +
+           eqb.astype(jnp.float32) *
+           jnp.where(rank <= (kf - n_gt), 1.0, 0.0))  # 0/1 f32 mask
+
+    neg = jnp.full((N, N), -3.0e38, jnp.float32)
+    masked = jnp.where(sel > 0.5, s_true, neg)
+    m = jnp.max(masked, axis=1, keepdims=True)
+    e = jnp.where(sel > 0.5, jnp.exp(s_true - m), jnp.zeros_like(s_true))
+    attn = e / jnp.sum(e, axis=1, keepdims=True)
+
+    at_q, _ = _quant_axis0(attn.T, BS, MBITS, SB)
+    v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
+    out = jax.lax.dot_general(at_q, v_q, dn,
+                              preferred_element_type=jnp.float32)
+    o_ref[c] = out.astype(jnp.bfloat16)
+
+
+def make_i16():
+    def kern(q_ref, k_ref, v_ref, o_ref):
+        for c in range(CELLS):
+            _cell_i16(q_ref[c], k_ref[c], v_ref[c], o_ref, c)
+
+    @jax.jit
+    def run(q, k, v):
+        return pl.pallas_call(
+            kern,
+            grid=(G // CELLS,),
+            in_specs=[pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, N, D), jnp.bfloat16),
+        )(q, k, v)
+
+    return run
+
+
+if os.environ.get("I16") == "1":
+    t = timed_chain(make_i16(), q, k, v)
+    print(f"i16: {t*1e6:.0f}us/call", flush=True)
+
+
+# ---- phase-split + row-batched selection variant -----------------------
+def make_batched():
+    Dp = _round_up(D, BS)
+    dpad = Dp - D
+
+    def kern(q_ref, k_ref, v_ref, o_ref):
+        def prep_t(x_nd):
+            xt = x_nd.T.astype(jnp.float32)
+            if dpad:
+                xt = jnp.concatenate(
+                    [xt, jnp.zeros((dpad, N), jnp.float32)], 0)
+            return xt
+
+        dn = (((0,), (0,)), ((), ()))
+        strues, ssels = [], []
+        for c in range(CELLS):
+            qv, qe = _quant_axis0(prep_t(q_ref[c]), BS, MBITS, SB)
+            kv, ke = _quant_axis0(prep_t(k_ref[c]), BS, MBITS, SB)
+            s_true = jax.lax.dot_general(
+                qv, kv, dn, preferred_element_type=jnp.float32) * SCALE
+            aq = _exp_sign_approx(qv, qe, BS)
+            ak = _exp_sign_approx(kv, ke, BS)
+            drow = jax.lax.broadcasted_iota(jnp.int32, (Dp, N), 0)
+            dmask = jnp.minimum(jnp.maximum(
+                jnp.float32(D) - drow.astype(jnp.float32), 0.0), 1.0
+            ).astype(jnp.bfloat16)
+            s_sel = jax.lax.dot_general(
+                aq * dmask, ak * dmask, dn,
+                preferred_element_type=jnp.float32)
+            strues.append(s_true)
+            ssels.append(s_sel)
+
+        S = jnp.concatenate(strues, axis=0)     # (CELLS*N, N)
+        P = jnp.concatenate(ssels, axis=0)
+
+        keys = jax.lax.shift_right_arithmetic(_mono_keys(P), 16)
+        kth = _kth_keys(keys, K, n_iters=17, lo_init=-32769, hi_init=32768)
+        gt = keys > kth
+        eq = keys == kth
+        n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
+        R = CELLS * N
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <=
+               jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+               ).astype(jnp.float32).astype(jnp.bfloat16)
+        rank = jax.lax.dot_general(
+            eq.astype(jnp.float32).astype(jnp.bfloat16), tri,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        sel = gt | (eq & (rank <= (K - n_gt).astype(jnp.float32)))
+
+        negb = jnp.full((R, N), -3.0e38, jnp.float32)
+        masked = jnp.where(sel, S, negb)
+        m = jnp.max(masked, axis=1, keepdims=True)
+        e = jnp.where(sel, jnp.exp(S - m), jnp.zeros_like(S))
+        attn = e / jnp.sum(e, axis=1, keepdims=True)
+
+        for c in range(CELLS):
+            a = attn[c * N:(c + 1) * N]
+            at_q, _ = _quant_axis0(a.T, BS, MBITS, SB)
+            v_q, _ = _quant_axis0(v_ref[c].astype(jnp.float32), BS, MBITS, SB)
+            out = jax.lax.dot_general(at_q, v_q, dn,
+                                      preferred_element_type=jnp.float32)
+            o_ref[c] = out.astype(jnp.bfloat16)
+
+    @jax.jit
+    def run(q, k, v):
+        return pl.pallas_call(
+            kern,
+            grid=(G // CELLS,),
+            in_specs=[pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, N, D), jnp.bfloat16),
+        )(q, k, v)
+
+    return run
+
+
+if os.environ.get("BATCHED") == "1":
+    fb = make_batched()
+    ff = make("full")
+    ob = np.asarray(fb(q, k, v), np.float32)
+    of = np.asarray(ff(q, k, v), np.float32)
+    print("batched matches full:", np.array_equal(ob, of), flush=True)
+    t = timed_chain(fb, q, k, v)
+    print(f"batched: {t*1e6:.0f}us/call", flush=True)
