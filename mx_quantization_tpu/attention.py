@@ -111,39 +111,47 @@ def _sparse_softmax_threshold(true_scores, pred_scores, k: int):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _xla_topk_dense(q, k, v, scale, mx_specs, cfg):
-    """The XLA fused-path equivalent of the Pallas kernel (no bias,
-    dense sparse_impl) — used as the kernel's differentiation surrogate."""
+def _xla_topk_dense(q, k, v, scale, mx_specs, cfg, bias=None):
+    """The XLA fused-path equivalent of the Pallas kernel (dense
+    sparse_impl) — used as the kernel's differentiation surrogate."""
     true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=mx_specs,
                          mode_config="aa") * scale
-    selector = (predict_scores(q, k, mx_specs, cfg.pred_mode)
-                if cfg.approx_flag else true_scores)
+    if bias is not None:
+        true_scores = true_scores + bias
+    if cfg.approx_flag:
+        selector = predict_scores(q, k, mx_specs, cfg.pred_mode)
+        if bias is not None:
+            selector = selector + bias
+    else:
+        selector = true_scores
     attn = _sparse_softmax_threshold(true_scores, selector, cfg.k)
     return matmul(attn, v, mx_specs=mx_specs, mode_config="aa")
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_topk_attention_ad(q, k, v, scale, mx_specs, cfg):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_topk_attention_ad(q, k, v, bias, scale, mx_specs, cfg):
     """Pallas fused forward with a rematerializing backward: the kernel has
     no VJP, so gradients flow through the numerics-equivalent XLA path
     (same quantized-op custom_vjps as the emulation engine)."""
     from .ops.kernels.topk_attention import fused_topk_attention
     return fused_topk_attention(
-        q, k, v, k=cfg.k, scale=scale, block_size=mx_specs.block_size,
+        q, k, v, bias, k=cfg.k, scale=scale, block_size=mx_specs.block_size,
         scale_bits=mx_specs.effective_scale_bits(),
         approx=cfg.approx_flag, key_bits=cfg.key_bits,
         out_dtype=jnp.dtype(cfg.out_dtype))
 
 
-def _fused_ad_fwd(q, k, v, scale, mx_specs, cfg):
-    return _fused_topk_attention_ad(q, k, v, scale, mx_specs, cfg), (q, k, v)
+def _fused_ad_fwd(q, k, v, bias, scale, mx_specs, cfg):
+    out = _fused_topk_attention_ad(q, k, v, bias, scale, mx_specs, cfg)
+    return out, (q, k, v, bias)
 
 
 def _fused_ad_bwd(scale, mx_specs, cfg, res, g):
-    q, k, v = res
+    q, k, v, bias = res
     _, vjp = jax.vjp(
-        lambda q, k, v: _xla_topk_dense(q, k, v, scale, mx_specs, cfg),
-        q, k, v)
+        lambda q, k, v, bias: _xla_topk_dense(q, k, v, scale, mx_specs, cfg,
+                                              bias),
+        q, k, v, bias)
     return vjp(g)
 
 
@@ -195,17 +203,23 @@ def topk_attention(
         selector = true_scores
 
     fused = mx_specs.custom_tpu == "fused"
-    # Pallas kernel eligibility: the whole (N, N) score tile must fit VMEM
-    # (~16MB): s_true + s_sel + key/mask temporaries ≈ 5 N^2 fp32 words.
+    # Pallas kernel eligibility: the whole (N, S) score tile must fit VMEM
+    # (~16MB): s_true + s_sel + key/mask temporaries ≈ 5 N*S fp32 words.
     kernel_fits = q.shape[-2] <= 512 and k.shape[-2] <= 512
-    if (fused and cfg.sparse_impl == "dense" and bias is None
+    # bias support: a per-key additive mask row (B, 1, 1, S) — the PixArt
+    # cross-attention contract.  Other bias shapes use the XLA path.
+    bias_ok = (bias is None or
+               (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+                and bias.shape[0] == q.shape[0]
+                and bias.shape[3] == k.shape[-2]))
+    if (fused and cfg.sparse_impl == "dense" and bias_ok
             and kernel_fits
             and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
             and (cfg.pred_mode == "ex_pred" or not cfg.approx_flag)):
         # single fused Pallas kernel: quantize + scores + predictor +
         # selection + masked softmax + PV, all in VMEM; differentiable via
         # the XLA-path surrogate VJP
-        out = _fused_topk_attention_ad(q, k, v, scale, mx_specs, cfg)
+        out = _fused_topk_attention_ad(q, k, v, bias, scale, mx_specs, cfg)
         return out, None
 
     if cfg.sparse_impl == "dense":

@@ -95,6 +95,10 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
         x2 = x2.astype(jnp.float32)
     M = x2.shape[0]
 
+    # keep the working set (in tile + f32 intermediates + out tile, double
+    # buffered) within the ~16MB scoped-VMEM budget for wide K
+    while tile_rows > 64 and tile_rows * K * 4 * 3 > (12 << 20):
+        tile_rows //= 2
     tm = min(tile_rows, M)
     # pad rows to a multiple of the tile
     pad = (-M) % tm

@@ -99,27 +99,35 @@ def _mono_keys(x):
     return jnp.where(b >= 0, b, jnp.bitwise_xor(jnp.invert(b), jnp.int32(_IMIN)))
 
 
-def _topk_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_size, mbits,
-                      scale_bits, k, scale, n_valid, d_valid, approx,
-                      key_bits, cells, out_dtype):
-    """``cells`` (batch*head) cells per grid step; q/k/v (cells, N, D).
+def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
+                      s_valid, d_valid, approx, key_bits, cells, out_dtype,
+                      has_bias):
+    """``cells`` (batch*head) cells per grid step; q (cells, N, D),
+    k/v (cells, S, D), optional bias (cells, 1, S), out (cells, N, D).
 
     q/k transpose to (D, N), f32 casts, and head-dim block padding all
     happen IN-VMEM here — cheaper than the HBM layout copies an XLA-side
     swapaxes/pad/astype materializes, and batching cells amortizes the
     per-grid-step pipeline overhead.
     """
+    if has_bias:
+        q_ref, k_ref, v_ref, b_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        b_ref = None
     for c in range(cells):
-        _one_cell(q_ref[c], k_ref[c], v_ref[c], o_ref, c,
+        _one_cell(q_ref[c], k_ref[c], v_ref[c],
+                  None if b_ref is None else b_ref[c], o_ref, c,
                   block_size=block_size, mbits=mbits, scale_bits=scale_bits,
-                  k=k, scale=scale, n_valid=n_valid, d_valid=d_valid,
+                  k=k, scale=scale, s_valid=s_valid, d_valid=d_valid,
                   approx=approx, key_bits=key_bits, out_dtype=out_dtype)
 
 
-def _one_cell(q_nd, k_nd, v_nd, o_ref, c, *, block_size, mbits,
-              scale_bits, k, scale, n_valid, d_valid, approx, key_bits,
+def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
+              scale_bits, k, scale, s_valid, d_valid, approx, key_bits,
               out_dtype):
     N, D = q_nd.shape
+    S = k_nd.shape[0]  # padded key/value length (columns of the score tile)
     # transpose first (bf16 transposes are fine), cast to f32 after, and pad
     # the head dim to the block size on SUBLANES in-VMEM — all cheaper than
     # the XLA-side pad+cast HBM round-trips they replace
@@ -130,7 +138,7 @@ def _one_cell(q_nd, k_nd, v_nd, o_ref, c, *, block_size, mbits,
         xt = x_nd.T.astype(jnp.float32)
         if dpad:
             xt = jnp.concatenate(
-                [xt, jnp.zeros((dpad, N), jnp.float32)], axis=0)
+                [xt, jnp.zeros((dpad, xt.shape[1]), jnp.float32)], axis=0)
         return xt
 
     qv, qe = _quant_axis0(prep_t(q_nd), block_size, mbits, scale_bits)
@@ -139,8 +147,12 @@ def _one_cell(q_nd, k_nd, v_nd, o_ref, c, *, block_size, mbits,
     dn = (((0,), (0,)), ((), ()))
     s_true = jax.lax.dot_general(qv, kv, dn,
                                  preferred_element_type=jnp.float32) * scale
+    if bias_row is not None:
+        # additive attention bias/mask, one row per cell, added to BOTH the
+        # true and predicted scores (MX_transformer_block.py:794-820)
+        s_true = s_true + bias_row.astype(jnp.float32)
 
-    neg = jnp.full((N, N), -3.0e38, jnp.float32)
+    neg = jnp.full((N, S), -3.0e38, jnp.float32)
     if approx:
         aq = _exp_sign_approx(qv, qe, block_size)
         ak = _exp_sign_approx(kv, ke, block_size)
@@ -150,18 +162,24 @@ def _one_cell(q_nd, k_nd, v_nd, o_ref, c, *, block_size, mbits,
             # mask them.  (an f32 0/1 row mask avoids a Mosaic i1-relayout
             # limitation)
             drow = jax.lax.broadcasted_iota(jnp.int32, (Dp, N), 0)
-            dmask = jnp.minimum(
+            dmaskq = jnp.minimum(
                 jnp.maximum(jnp.float32(d_valid) - drow.astype(jnp.float32),
                             0.0), 1.0).astype(jnp.bfloat16)
-            aq = aq * dmask
-            ak = ak * dmask
+            drs = jax.lax.broadcasted_iota(jnp.int32, (Dp, S), 0)
+            dmaskk = jnp.minimum(
+                jnp.maximum(jnp.float32(d_valid) - drs.astype(jnp.float32),
+                            0.0), 1.0).astype(jnp.bfloat16)
+            aq = aq * dmaskq
+            ak = ak * dmaskk
         s_sel = jax.lax.dot_general(aq, ak, dn,
                                     preferred_element_type=jnp.float32)
+        if bias_row is not None:
+            s_sel = s_sel + bias_row.astype(jnp.float32)
     else:
         s_sel = s_true
-    if n_valid < N:
-        col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        s_sel = jnp.where(col >= n_valid, neg, s_sel)  # padded key columns
+    if s_valid < S:
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
+        s_sel = jnp.where(col >= s_valid, neg, s_sel)  # padded key columns
 
     keys = _mono_keys(s_sel)
     if key_bits == 16:
@@ -178,8 +196,8 @@ def _one_cell(q_nd, k_nd, v_nd, o_ref, c, *, block_size, mbits,
     eq = keys == kth
     n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
     # lowest-index-first tie rank via inclusive lower-triangular matmul
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <=
-           jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
            ).astype(jnp.float32).astype(jnp.bfloat16)
     rank = jax.lax.dot_general(
         eq.astype(jnp.float32).astype(jnp.bfloat16), tri,
@@ -214,50 +232,67 @@ def _use_interpret() -> bool:
 @functools.partial(jax.jit, static_argnames=("k", "scale", "block_size",
                                              "mbits", "scale_bits", "approx",
                                              "key_bits", "out_dtype"))
-def fused_topk_attention(q, k_, v, *, k: int, scale: float,
+def fused_topk_attention(q, k_, v, bias=None, *, k: int, scale: float,
                          block_size: int = 32, mbits: int = 8,
                          scale_bits: int = 8, approx: bool = True,
                          key_bits: int = 32, out_dtype=jnp.float32):
-    """(B, H, N, D) q/k/v -> (B, H, N, D) attention output in ``out_dtype``.
+    """(B, H, N, D) q x (B, H, S, D) k/v -> (B, H, N, D) in ``out_dtype``.
 
     approx=True selects by the ex_pred predictor; False by the true scores.
-    N is padded to the sequence tile (zero pads quantize to zero and padded
-    key columns are excluded from selection); the head dim is padded to the
-    MX block in-VMEM.  Inputs keep their dtype (bf16 reads half the HBM
-    traffic; the kernel casts to f32 in-register — exact).
+    bias: optional additive key-mask bias of shape (B, 1, 1, S), added to
+    both true and predicted scores (the PixArt cross-attention contract).
+    N/S are padded to the sequence tile (zero pads quantize to zero and
+    padded key columns are excluded from selection); the head dim is padded
+    to the MX block in-VMEM.  Inputs keep their dtype (bf16 reads half the
+    HBM traffic; the kernel casts to f32 in-register — exact).
     """
     B, H, N, D = q.shape
+    S = k_.shape[2]
     Np = _round_up(N, 128)
+    Sp = _round_up(S, 128)
 
-    def prep(x):
-        if Np != N:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, Np - N), (0, 0)))
-        return x.reshape(B * H, Np, D)
+    def prep(x, P):
+        n = x.shape[2]
+        if P != n:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, P - n), (0, 0)))
+        return x.reshape(B * H, P, D)
 
-    qp, kp, vp = prep(q), prep(k_), prep(v)
+    qp, kp, vp = prep(q, Np), prep(k_, Sp), prep(v, Sp)
 
     G = B * H
     cells = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
+    operands = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cells, Sp, D), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cells, Sp, D), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if bias is not None:
+        assert bias.shape == (B, 1, 1, S), bias.shape
+        brow = jnp.broadcast_to(bias.reshape(B, 1, S), (B, H, S))
+        brow = jnp.pad(brow.reshape(G, 1, S).astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, Sp - S)))
+        operands.append(brow)
+        in_specs.append(pl.BlockSpec((cells, 1, Sp), lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
     kern = functools.partial(
         _topk_attn_kernel, block_size=block_size, mbits=mbits,
-        scale_bits=scale_bits, k=k, scale=scale, n_valid=N, d_valid=D,
-        approx=approx, key_bits=key_bits, cells=cells, out_dtype=out_dtype)
+        scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
+        approx=approx, key_bits=key_bits, cells=cells, out_dtype=out_dtype,
+        has_bias=bias is not None)
     out = pl.pallas_call(
         kern,
         grid=(G // cells,),
-        in_specs=[
-            pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, Np, D), out_dtype),
         interpret=_use_interpret(),
-    )(qp, kp, vp)
+    )(*operands)
     out = out.reshape(B, H, Np, D)
     if Np != N:
         out = out[:, :, :N]

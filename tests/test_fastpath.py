@@ -159,3 +159,28 @@ def test_fused_attention_kernel_is_differentiable():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_cross_attention_bias_rect_kv():
+    """Rectangular kv + additive key-mask bias routes to the fused kernel
+    and matches the reference emulation (the PixArt cross-attention
+    contract: bias added to BOTH true and predicted scores, top-k on true
+    scores, MX_transformer_block.py:765-859)."""
+    B, H, N, S, D = 2, 2, 32, 24, 64
+    q = rand(B, H, N, D, seed=41)
+    k = rand(B, H, S, D, seed=42)
+    v = rand(B, H, S, D, seed=43)
+    # key mask: last 4 keys masked with the -10000 bias (reference scale)
+    mask = np.ones((B, 1, 1, S), np.float32)
+    mask[..., -4:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * -10000.0)
+
+    from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                               topk_attention)
+    for approx in (False, True):
+        cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=8,
+                                  approx_flag=approx, pred_mode="ex_pred")
+        out_f, _ = topk_attention(q, k, v, D ** -0.5, FUSED, cfg, bias=bias)
+        out_r, _ = topk_attention(q, k, v, D ** -0.5, REF, cfg, bias=bias)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-5, atol=1e-6)
