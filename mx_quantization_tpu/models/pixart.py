@@ -78,10 +78,20 @@ class PixArtQuantConfig:
     exclude_blocks_type: str = "ex_pred"
     exclude_timesteps: Tuple[int, ...] = ()
     sparse_impl: str = "dense"
+    # serving knobs (same semantics as DiTQuantConfig): bf16 residual
+    # stream + bf16-precision top-k ranking on the fused engine
+    topk_key_bits: int = 32
+    activation_dtype: str = "float32"
 
     def _pred_mode(self, idx):
         return (self.exclude_blocks_type if idx in self.exclude_blocks
                 else self.pred_mode)
+
+    def _serving_kw(self):
+        return dict(key_bits=self.topk_key_bits,
+                    out_dtype=("bfloat16"
+                               if self.activation_dtype == "bfloat16"
+                               else "float32"))
 
     def self_attn_cfg(self, idx, timestep_idx):
         """Self-attn: excluded block -> top_k off; excluded timestep ->
@@ -95,7 +105,7 @@ class PixArtQuantConfig:
         return TopKAttentionConfig(
             mx_quant=True, top_k=top_k, k=self.self_k,
             approx_flag=self.ex_pred, pred_mode=self._pred_mode(idx),
-            sparse_impl=self.sparse_impl)
+            sparse_impl=self.sparse_impl, **self._serving_kw())
 
     def cross_attn_cfg(self, idx, timestep_idx):
         """Cross-attn: excluded timestep keeps top-k but switches the
@@ -109,7 +119,7 @@ class PixArtQuantConfig:
         return TopKAttentionConfig(
             mx_quant=True, top_k=self.cross_top_k, k=self.cross_k,
             approx_flag=approx, pred_mode=self._pred_mode(idx),
-            sparse_impl=self.sparse_impl)
+            sparse_impl=self.sparse_impl, **self._serving_kw())
 
 
 # ----------------------------------------------------------------------
@@ -160,9 +170,10 @@ def init_pixart(key: jax.Array, cfg: PixArtConfig) -> Params:
 
 # ----------------------------------------------------------------------
 def _ln(x, eps=1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)  # norm statistics stay fp32 in bf16 serving
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def _mha(p, x, kv, cfg: PixArtConfig, specs, attn_cfg, bias=None,
@@ -176,6 +187,9 @@ def _mha(p, x, kv, cfg: PixArtConfig, specs, attn_cfg, bias=None,
     q = linear(x, p["to_q"]["weight"], p["to_q"].get("bias"), mx_specs=mxs)
     k = linear(kv, p["to_k"]["weight"], p["to_k"].get("bias"), mx_specs=mxs)
     v = linear(kv, p["to_v"]["weight"], p["to_v"].get("bias"), mx_specs=mxs)
+    if attn_cfg.out_dtype == "bfloat16":
+        # bf16 serving: halve the relayout copies and kernel reads
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
     q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
@@ -225,24 +239,32 @@ def pixart_forward(params: Params, hidden_states: jax.Array,
     ctx = jax.nn.gelu(ctx, approximate=True)
     ctx = linear(ctx, cp["linear_2"]["weight"], cp["linear_2"]["bias"])
 
+    act_dtype = jnp.bfloat16 if qcfg.activation_dtype == "bfloat16" \
+        else jnp.float32
+    x = x.astype(act_dtype)
+    ctx = ctx.astype(act_dtype)
+
     def block_body(bp, cfgs, x):
         self_cfg, cross_cfg = cfgs
         mxs = specs if self_cfg.mx_quant else None
-        mods = bp["scale_shift_table"][None] + t6.reshape(B, 6, d)
+        mods = (bp["scale_shift_table"][None] +
+                t6.reshape(B, 6, d)).astype(act_dtype)
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = [mods[:, i][:, None]
                                             for i in range(6)]
         h = _ln(x, cfg.norm_eps) * (1 + scale_msa) + shift_msa
         x = x + gate_msa * _mha(bp["attn1"], h, h, cfg, specs, self_cfg,
-                                orthogonal_matrix=orthogonal_matrix)
+                                orthogonal_matrix=orthogonal_matrix
+                                ).astype(act_dtype)
         # PixArt: no norm before cross-attn (MX_transformer_block.py:437-440)
-        x = x + _mha(bp["attn2"], x, ctx, cfg, specs, cross_cfg, bias=bias)
+        x = x + _mha(bp["attn2"], x, ctx, cfg, specs, cross_cfg,
+                     bias=bias).astype(act_dtype)
         h = _ln(x, cfg.norm_eps) * (1 + scale_mlp) + shift_mlp
         h = linear(h, bp["ff"]["fc1"]["weight"], bp["ff"]["fc1"]["bias"],
-                   mx_specs=mxs)
+                   mx_specs=mxs).astype(act_dtype)
         h = jax.nn.gelu(h, approximate=True)  # "gelu-approximate"
         h = linear(h, bp["ff"]["fc2"]["weight"], bp["ff"]["fc2"]["bias"],
-                   mx_specs=mxs)
+                   mx_specs=mxs).astype(act_dtype)
         return x + gate_mlp * h
 
     cfgs = [(qcfg.self_attn_cfg(i, timestep_idx),
