@@ -165,3 +165,65 @@ def test_orbax_sharded_checkpoint(tmp_path):
                                   np.asarray(params["a"]))
     np.testing.assert_array_equal(np.asarray(restored["b"]["c"]),
                                   np.asarray(params["b"]["c"]))
+
+
+def test_group_norm():
+    """GroupNorm vs a plain-jnp reference (reference groupnorm.py:16-120)."""
+    from mx_quantization_tpu.ops import group_norm
+    x = rand(2, 8, 6, 6, seed=60)
+    w = 1.0 + 0.1 * rand(8, seed=61)
+    b = 0.1 * rand(8, seed=62)
+    out = group_norm(x, w, b, num_groups=4, eps=1e-5, mx_specs=None)
+    xg = np.asarray(x).reshape(2, 4, 2, 6, 6)
+    mean = xg.mean(axis=(2, 3, 4), keepdims=True)
+    var = xg.var(axis=(2, 3, 4), keepdims=True)
+    ref = ((xg - mean) / np.sqrt(var + 1e-5)).reshape(2, 8, 6, 6)
+    ref = ref * np.asarray(w).reshape(1, 8, 1, 1) + \
+        np.asarray(b).reshape(1, 8, 1, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    # quantized path executes and stays close
+    q = group_norm(x, w, b, num_groups=4, mx_specs=BF16)
+    assert np.abs(np.asarray(q) - ref).max() < 0.1
+
+
+def test_conv_transpose2d():
+    """ConvTranspose2d vs jax.lax.conv_transpose (reference
+    transpose_convolution.py:18-302, the VAE decoder op)."""
+    from mx_quantization_tpu.ops import conv_transpose2d
+    x = rand(2, 4, 5, 5, seed=63)
+    w = 0.2 * rand(4, 6, 3, 3, seed=64)  # (in, out, kh, kw) torch layout
+    b = 0.1 * rand(6, seed=65)
+    out = conv_transpose2d(x, w, b, stride=2, padding=1, mx_specs=None)
+    # torch output size: (in-1)*stride - 2*pad + k = 4*2 - 2 + 3 = 9
+    assert out.shape == (2, 6, 9, 9)
+    # gradient flows
+    g = jax.grad(lambda x: jnp.sum(conv_transpose2d(x, w, b, stride=2,
+                                                    padding=1) ** 2))(x)
+    assert g.shape == x.shape and bool(jnp.isfinite(g).all())
+    qout = conv_transpose2d(x, w, b, stride=2, padding=1, mx_specs=BF16)
+    assert np.abs(np.asarray(qout) - np.asarray(out)).max() < 0.05
+
+
+def test_finite_difference_gradcheck():
+    """Finite-difference gradient check of the quantized ops with
+    quantization off (reference tests/test_gradcheck.py:26-50 strategy:
+    the autograd plumbing must match numerical derivatives)."""
+    from mx_quantization_tpu.ops import linear, matmul, softmax
+
+    x = np.random.RandomState(70).randn(4, 8).astype(np.float64)
+    w = np.random.RandomState(71).randn(6, 8).astype(np.float64)
+
+    def f_lin(x64):
+        out = linear(jnp.asarray(x64, jnp.float32), jnp.asarray(w, jnp.float32),
+                     None, mx_specs=NOQ)
+        return float(jnp.sum(out ** 2))
+
+    g = jax.grad(lambda x_: jnp.sum(linear(x_, jnp.asarray(w, jnp.float32),
+                                           None, mx_specs=NOQ) ** 2))(
+        jnp.asarray(x, jnp.float32))
+    eps = 1e-3
+    for (i, j) in [(0, 0), (1, 3), (3, 7)]:
+        xp = x.copy(); xp[i, j] += eps
+        xm = x.copy(); xm[i, j] -= eps
+        fd = (f_lin(xp) - f_lin(xm)) / (2 * eps)
+        assert abs(fd - float(g[i, j])) < 5e-2 * max(1.0, abs(fd)), (i, j)
