@@ -14,4 +14,6 @@ from .gaussian import (
     linear_beta_schedule,
     space_timesteps,
 )
+from .timestep_sampler import (LossSecondMomentResampler,
+                               UniformSampler)
 from .dpm_solver import DPMSolverMultistep

@@ -31,6 +31,7 @@ from .elemwise import quantize_elemwise_op
 from .fastquant import (bf_fast, fused_eligible, quantize_mx_fast,
                         quantize_mx_serving)
 from .mx import quantize_mx_op
+from ..specs import mx_assert_test
 
 _INT_FMTS = ("int8", "int4", "int2")
 
@@ -162,6 +163,7 @@ mx_linear.defvjp(_linear_fwd, _linear_bwd)
 def linear(x, w, b=None, mx_specs=None):
     """Public linear op.  mx_specs=None -> plain fp linear (reference
     linear.py:209-224 fallthrough)."""
+    mx_assert_test(mx_specs)
     if mx_specs is None:
         out = jnp.matmul(x, w.T, precision=jax.lax.Precision.HIGHEST)
         return out if b is None else out + b
@@ -264,6 +266,7 @@ mx_matmul.defvjp(_matmul_fwd, _matmul_bwd)
 
 def matmul(a, b, bias=None, mx_specs=None, mode_config="aa"):
     """Public matmul (reference matmul.py:211-222).  bias follows addmm."""
+    mx_assert_test(mx_specs)
     if mx_specs is None:
         out = jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
         return out if bias is None else out + bias
@@ -278,6 +281,7 @@ def matmul(a, b, bias=None, mx_specs=None, mode_config="aa"):
 
 def bmm(a, b, mx_specs=None):
     """Batched matmul; both operands use a_elem_format (reference bmm.py:40-53)."""
+    mx_assert_test(mx_specs)
     if mx_specs is None:
         return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     return mx_matmul(a, b, mx_specs, "aa")

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from .vector import (vec_add, vec_div, vec_mul, vec_quantize, vec_recip,
                      vec_reduce_mean, vec_reduce_sum, vec_sqrt, vec_sub)
+from ..specs import mx_assert_test
 
 
 def _norm_forward(x, axis, weight, bias, eps, specs):
@@ -87,6 +88,7 @@ mx_layer_norm.defvjp(_ln_fwd, _ln_bwd)
 
 
 def layer_norm(x, weight, bias, eps=1e-12, mx_specs=None):
+    mx_assert_test(mx_specs)
     if mx_specs is None:
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
@@ -142,6 +144,7 @@ mx_rms_norm.defvjp(_rms_fwd, _rms_bwd)
 
 
 def rms_norm(x, weight, bias, eps=1e-12, mx_specs=None):
+    mx_assert_test(mx_specs)
     if mx_specs is None:
         ms = jnp.mean(x * x, axis=-1, keepdims=True)
         out = x * jax.lax.rsqrt(ms + eps)
@@ -213,6 +216,7 @@ mx_group_norm.defvjp(_gn_fwd, _gn_bwd)
 
 
 def group_norm(x, weight, bias, num_groups=32, eps=1e-5, mx_specs=None):
+    mx_assert_test(mx_specs)
     if mx_specs is None:
         N, C = x.shape[0], x.shape[1]
         spatial = x.shape[2:]

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from .vector import (LN_2_BF16, vec_div, vec_exp, vec_exp2, vec_mul,
                      vec_quantize, vec_reduce_sum, vec_sub)
+from ..specs import mx_assert_test
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -55,6 +56,7 @@ mx_softmax.defvjp(_softmax_fwd, _softmax_bwd)
 
 
 def softmax(x, dim=-1, mx_specs=None):
+    mx_assert_test(mx_specs)
     if mx_specs is None:
         return jax.nn.softmax(x, axis=dim)
     return mx_softmax(x, dim % x.ndim, mx_specs)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from typing import Optional
 
 from .formats import ElemFormat, FormatLike
@@ -236,3 +237,25 @@ def get_mx_specs(args: argparse.Namespace) -> Optional[MxSpecs]:
                 d[f.name] = v
     early_exit = not getattr(args, "skip_early_exit", False)
     return finalize_mx_specs(d or None, early_exit=early_exit)
+
+
+# ----------------------------------------------------------------------
+# MX_ASSERT: env-gated guard against silently-unquantized ops
+# ----------------------------------------------------------------------
+_ASSERT_MODE = os.environ.get("MX_ASSERT", "False")
+
+
+def mx_assert_test(mx_specs) -> None:
+    """Raise if MX_ASSERT=True and an MX op is called with specs=None
+    (reference specs.py:351-363 — catches paths that silently fall back to
+    the unquantized op during quantization experiments)."""
+    if _ASSERT_MODE == "True" and mx_specs is None:
+        import traceback
+        stack = traceback.extract_stack()
+        f1 = stack[-2]
+        f2 = stack[-3]
+        raise ValueError(
+            "MX assert test failed!\n"
+            f"mx_specs is None in function {f1.name}\n"
+            f"Called from {f2.filename}, line {f2.lineno}\n"
+            f"  {f2.line}")

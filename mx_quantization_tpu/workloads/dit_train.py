@@ -33,18 +33,25 @@ def update_ema(ema_params, params, decay: float = 0.9999):
 
 
 def make_train_step(cfg: DiTConfig, qcfg: DiTQuantConfig, diffusion,
-                    optimizer):
+                    optimizer, timestep_sampler=None):
+    """timestep_sampler: optional diffusion.timestep_sampler.UniformSampler
+    (default) — importance resampling uses LossSecondMomentResampler whose
+    state the caller threads (see tests)."""
     def train_step(params, ema_params, opt_state, x0, y, key):
         t_key, n_key = jax.random.split(key)
-        t = jax.random.randint(t_key, (x0.shape[0],), 0,
-                               diffusion.num_timesteps)
+        if timestep_sampler is not None:
+            t, t_weights = timestep_sampler.sample(t_key, x0.shape[0])
+        else:
+            t = jax.random.randint(t_key, (x0.shape[0],), 0,
+                                   diffusion.num_timesteps)
+            t_weights = jnp.ones((x0.shape[0],))
 
         def loss_fn(p):
             def model(xt, tt, y):
                 return dit_forward(p, xt, tt, y, cfg, qcfg)
             terms = diffusion.training_losses(model, x0, t, n_key,
                                               model_kwargs={"y": y})
-            return jnp.mean(terms["loss"])
+            return jnp.mean(terms["loss"] * t_weights)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

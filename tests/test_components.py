@@ -227,3 +227,45 @@ def test_finite_difference_gradcheck():
         xm = x.copy(); xm[i, j] -= eps
         fd = (f_lin(xp) - f_lin(xm)) / (2 * eps)
         assert abs(fd - float(g[i, j])) < 5e-2 * max(1.0, abs(fd)), (i, j)
+
+
+def test_mx_assert_env_guard(monkeypatch):
+    """MX_ASSERT=True makes user-facing MX ops raise when called with
+    specs=None (reference specs.py:351-363)."""
+    from mx_quantization_tpu import specs as specs_mod
+    from mx_quantization_tpu.ops import linear
+    x = rand(2, 8, seed=80)
+    w = rand(4, 8, seed=81)
+    linear(x, w, None, mx_specs=None)  # default mode: fine
+    monkeypatch.setattr(specs_mod, "_ASSERT_MODE", "True")
+    with pytest.raises(ValueError, match="MX assert"):
+        linear(x, w, None, mx_specs=None)
+    monkeypatch.setattr(specs_mod, "_ASSERT_MODE", "False")
+
+
+def test_timestep_samplers():
+    """Uniform + loss-second-moment resampler (reference
+    diffusion/timestep_sampler.py)."""
+    from mx_quantization_tpu.diffusion.timestep_sampler import (
+        LossSecondMomentResampler, UniformSampler)
+    us = UniformSampler(100)
+    t, w = us.sample(jax.random.key(0), 64)
+    assert t.shape == (64,) and bool((t >= 0).all()) and bool((t < 100).all())
+    assert bool((w == 1.0).all())
+
+    rs = LossSecondMomentResampler(10, history_per_term=3)
+    state = rs.init_state()
+    # before warm-up: uniform-ish weights
+    t, w = rs.sample(jax.random.key(1), 32, state)
+    assert t.shape == (32,)
+    # feed skewed losses: t=0 large loss, others small
+    for seed in range(12):
+        tt = jnp.arange(10)
+        losses = jnp.where(tt == 0, 10.0, 0.1)
+        state = rs.update(state, tt, losses)
+    p = rs.weights_from_state(state)
+    assert float(p[0]) > float(p[1]) * 5  # importance skew
+    t, w = rs.sample(jax.random.key(2), 2048, state)
+    frac0 = float(jnp.mean((t == 0).astype(jnp.float32)))
+    assert frac0 > 0.3  # t=0 heavily sampled
+    assert bool(jnp.isfinite(w).all())
