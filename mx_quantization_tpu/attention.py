@@ -203,9 +203,11 @@ def topk_attention(
         selector = true_scores
 
     fused = mx_specs.custom_tpu == "fused"
-    # Pallas kernel eligibility: the whole (N, S) score tile must fit VMEM
-    # (~16MB): s_true + s_sel + key/mask temporaries ≈ 5 N*S fp32 words.
-    kernel_fits = q.shape[-2] <= 512 and k.shape[-2] <= 512
+    # Pallas kernel eligibility: short sequences run whole (N, S) score
+    # tiles in VMEM; longer N query-tiles with the K side cached in scratch
+    # (kernels/topk_attention.py).  S caps at 4096 so a (64, S) f32 score
+    # working set still fits scoped VMEM.
+    kernel_fits = k.shape[-2] <= 4096
     # bias support: a per-key additive mask row (B, 1, 1, S) — the PixArt
     # cross-attention contract.  Other bias shapes use the XLA path.
     bias_ok = (bias is None or

@@ -123,26 +123,55 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
                   approx=approx, key_bits=key_bits, out_dtype=out_dtype)
 
 
+def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx):
+    """(n, D) tile -> transposed quantized operand (Dp, n) bf16 and, when
+    ``approx``, the exp-sign predictor operand (Dp, n) bf16.
+
+    Transpose first (bf16 transposes are fine), cast to f32 after, and pad
+    the head dim to the block size on SUBLANES in-VMEM — all cheaper than
+    the XLA-side pad+cast HBM round-trips they replace."""
+    n, D = x_nd.shape
+    Dp = _round_up(max(d_valid, 8), block_size)
+    xt = x_nd.T.astype(jnp.float32)
+    if Dp - D:
+        xt = jnp.concatenate(
+            [xt, jnp.zeros((Dp - D, n), jnp.float32)], axis=0)
+    vals, exps = _quant_axis0(xt, block_size, mbits, scale_bits)
+    if not approx:
+        return vals, None
+    a = _exp_sign_approx(vals, exps, block_size)
+    if d_valid < Dp:
+        # padded head-dim rows would contribute sign(0)*2^e; the reference
+        # slices the block padding away (mx_ops.py:164-174) — mask them.
+        # (an f32 0/1 row mask avoids a Mosaic i1-relayout limitation)
+        drow = jax.lax.broadcasted_iota(jnp.int32, (Dp, n), 0)
+        dmask = jnp.minimum(
+            jnp.maximum(jnp.float32(d_valid) - drow.astype(jnp.float32),
+                        0.0), 1.0).astype(jnp.bfloat16)
+        a = a * dmask
+    return vals, a
+
+
 def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
               scale_bits, k, scale, s_valid, d_valid, approx, key_bits,
               out_dtype):
-    N, D = q_nd.shape
-    S = k_nd.shape[0]  # padded key/value length (columns of the score tile)
-    # transpose first (bf16 transposes are fine), cast to f32 after, and pad
-    # the head dim to the block size on SUBLANES in-VMEM — all cheaper than
-    # the XLA-side pad+cast HBM round-trips they replace
-    Dp = _round_up(max(d_valid, 8), block_size)
-    dpad = Dp - D
+    qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx)
+    kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, d_valid, approx)
+    v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
+                          scale_bits)
+    o_ref[c] = _score_select_output(
+        qv, aq, kv, ak, v_q, bias_row, block_size=block_size, mbits=mbits,
+        scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
+        approx=approx, key_bits=key_bits).astype(out_dtype)
 
-    def prep_t(x_nd):
-        xt = x_nd.T.astype(jnp.float32)
-        if dpad:
-            xt = jnp.concatenate(
-                [xt, jnp.zeros((dpad, xt.shape[1]), jnp.float32)], axis=0)
-        return xt
 
-    qv, qe = _quant_axis0(prep_t(q_nd), block_size, mbits, scale_bits)
-    kv, ke = _quant_axis0(prep_t(k_nd), block_size, mbits, scale_bits)
+def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
+                         mbits, scale_bits, k, scale, s_valid, approx,
+                         key_bits):
+    """Quantized operands (Dp, N)/(Dp, S) + v_q (S, D) -> attention (N, D)
+    f32: true/pred scores, exact top-k selection, masked softmax, PV."""
+    N = qv.shape[1]
+    S = kv.shape[1]
 
     dn = (((0,), (0,)), ((), ()))
     s_true = jax.lax.dot_general(qv, kv, dn,
@@ -154,23 +183,6 @@ def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
 
     neg = jnp.full((N, S), -3.0e38, jnp.float32)
     if approx:
-        aq = _exp_sign_approx(qv, qe, block_size)
-        ak = _exp_sign_approx(kv, ke, block_size)
-        if d_valid < Dp:
-            # padded head-dim rows would contribute sign(0)*2^e; the
-            # reference slices the block padding away (mx_ops.py:164-174) —
-            # mask them.  (an f32 0/1 row mask avoids a Mosaic i1-relayout
-            # limitation)
-            drow = jax.lax.broadcasted_iota(jnp.int32, (Dp, N), 0)
-            dmaskq = jnp.minimum(
-                jnp.maximum(jnp.float32(d_valid) - drow.astype(jnp.float32),
-                            0.0), 1.0).astype(jnp.bfloat16)
-            drs = jax.lax.broadcasted_iota(jnp.int32, (Dp, S), 0)
-            dmaskk = jnp.minimum(
-                jnp.maximum(jnp.float32(d_valid) - drs.astype(jnp.float32),
-                            0.0), 1.0).astype(jnp.bfloat16)
-            aq = aq * dmaskq
-            ak = ak * dmaskk
         s_sel = jax.lax.dot_general(aq, ak, dn,
                                     preferred_element_type=jnp.float32)
         if bias_row is not None:
@@ -210,14 +222,47 @@ def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
     e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
     attn = e / jnp.sum(e, axis=1, keepdims=True)
 
-    # attn quantized along N (its last axis) -> transpose, blocks on sublanes
-    attn_t = attn.T
-    at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits)
-    v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
-                          scale_bits)
-    out = jax.lax.dot_general(at_q, v_q, dn,
-                              preferred_element_type=jnp.float32)
-    o_ref[c] = out.astype(out_dtype)
+    # attn quantized along S (its last axis) -> transpose, blocks on sublanes
+    at_q, _ = _quant_axis0(attn.T, block_size, mbits, scale_bits)
+    return jax.lax.dot_general(at_q, v_q, dn,
+                               preferred_element_type=jnp.float32)
+
+
+def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
+                            s_valid, d_valid, approx, key_bits, out_dtype,
+                            has_bias):
+    """Query-tiled variant for long sequences (N > 512): grid (G, N/QT);
+    each step attends one query tile against the FULL key/value set.  The
+    quantized K side (kv, predictor operand, v_q) is computed once per cell
+    at tile 0 and cached in VMEM scratch across the query tiles — the TPU
+    grid is sequential, so the scratch persists."""
+    if has_bias:
+        q_ref, k_ref, v_ref, b_ref = refs[:4]
+        o_ref, kv_s, ak_s, vq_s = refs[4:]
+    else:
+        q_ref, k_ref, v_ref = refs[:3]
+        o_ref, kv_s, ak_s, vq_s = refs[3:]
+        b_ref = None
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        kv, ak = _prep_side(k_ref[0], block_size, mbits, scale_bits,
+                            d_valid, approx)
+        kv_s[:] = kv
+        if approx:
+            ak_s[:] = ak
+        vq, _ = _quant_axis0(v_ref[0].astype(jnp.float32), block_size,
+                             mbits, scale_bits)
+        vq_s[:] = vq
+
+    qv, aq = _prep_side(q_ref[0], block_size, mbits, scale_bits, d_valid,
+                        approx)
+    bias_row = None if b_ref is None else b_ref[0]
+    o_ref[0] = _score_select_output(
+        qv, aq, kv_s[:], ak_s[:] if approx else None, vq_s[:], bias_row,
+        block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
+        scale=scale, s_valid=s_valid, approx=approx,
+        key_bits=key_bits).astype(out_dtype)
 
 
 def _round_up(x, m):
@@ -260,39 +305,86 @@ def fused_topk_attention(q, k_, v, bias=None, *, k: int, scale: float,
     qp, kp, vp = prep(q, Np), prep(k_, Sp), prep(v, Sp)
 
     G = B * H
-    cells = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
-    operands = [qp, kp, vp]
-    in_specs = [
-        pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((cells, Sp, D), lambda g: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((cells, Sp, D), lambda g: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    brow = None
     if bias is not None:
         assert bias.shape == (B, 1, 1, S), bias.shape
         brow = jnp.broadcast_to(bias.reshape(B, 1, S), (B, H, S))
         brow = jnp.pad(brow.reshape(G, 1, S).astype(jnp.float32),
                        ((0, 0), (0, 0), (0, Sp - S)))
-        operands.append(brow)
-        in_specs.append(pl.BlockSpec((cells, 1, Sp), lambda g: (g, 0, 0),
-                                     memory_space=pltpu.VMEM))
 
-    kern = functools.partial(
-        _topk_attn_kernel, block_size=block_size, mbits=mbits,
-        scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
-        approx=approx, key_bits=key_bits, cells=cells, out_dtype=out_dtype,
-        has_bias=bias is not None)
-    out = pl.pallas_call(
-        kern,
-        grid=(G // cells,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, Np, D), out_dtype),
-        interpret=_use_interpret(),
-    )(*operands)
+    if Np <= 512 and Sp <= 512:
+        cells = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
+        operands = [qp, kp, vp]
+        in_specs = [
+            pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cells, Sp, D), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cells, Sp, D), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if brow is not None:
+            operands.append(brow)
+            in_specs.append(pl.BlockSpec((cells, 1, Sp),
+                                         lambda g: (g, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        kern = functools.partial(
+            _topk_attn_kernel, block_size=block_size, mbits=mbits,
+            scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
+            approx=approx, key_bits=key_bits, cells=cells,
+            out_dtype=out_dtype, has_bias=brow is not None)
+        out = pl.pallas_call(
+            kern,
+            grid=(G // cells,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, Np, D), out_dtype),
+            interpret=_use_interpret(),
+        )(*operands)
+    else:
+        # long sequences: query tiling, K-side cached in scratch (see
+        # _topk_attn_kernel_tiled).  QT sized so the (QT, Sp) f32 score
+        # working set (~6 live arrays) stays within scoped VMEM.
+        QT = 256
+        while QT > 64 and QT * Sp * 4 * 6 > (10 << 20):
+            QT //= 2
+        Np = _round_up(Np, QT)
+        if Np != qp.shape[1]:
+            qp = jnp.pad(qp, ((0, 0), (0, Np - qp.shape[1]), (0, 0)))
+        Dp = _round_up(max(D, 8), block_size)
+        operands = [qp, kp, vp]
+        in_specs = [
+            pl.BlockSpec((1, QT, D), lambda g, t: (g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, D), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, D), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if brow is not None:
+            operands.append(brow)
+            in_specs.append(pl.BlockSpec((1, 1, Sp), lambda g, t: (g, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        kern = functools.partial(
+            _topk_attn_kernel_tiled, block_size=block_size, mbits=mbits,
+            scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
+            approx=approx, key_bits=key_bits, out_dtype=out_dtype,
+            has_bias=brow is not None)
+        out = pl.pallas_call(
+            kern,
+            grid=(G, Np // QT),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, QT, D), lambda g, t: (g, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, Np, D), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((Dp, Sp), jnp.bfloat16),   # kv
+                pltpu.VMEM((Dp, Sp), jnp.bfloat16),   # predictor operand
+                pltpu.VMEM((Sp, D), jnp.bfloat16),    # v_q
+            ],
+            interpret=_use_interpret(),
+        )(*operands)
     out = out.reshape(B, H, Np, D)
     if Np != N:
         out = out[:, :, :N]

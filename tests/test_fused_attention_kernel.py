@@ -75,3 +75,29 @@ def test_key_bits_16_selection_close_to_exact():
     a, b = np.asarray(out16), np.asarray(out32)
     frac_same = np.mean(np.isclose(a, b, rtol=1e-4, atol=1e-5))
     assert frac_same > 0.95, frac_same
+
+
+def test_fused_kernel_query_tiled_long_sequence():
+    """N > 512 routes to the query-tiled kernel (K side cached in scratch)
+    and matches the XLA fused path row-for-row."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from mx_quantization_tpu import finalize_mx_specs
+    from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                               _xla_topk_dense,
+                                               topk_attention)
+    FUSED = finalize_mx_specs(dict(
+        w_elem_format="int8", a_elem_format="int8", scale_bits=8,
+        block_size=32, quantize_backprop=False, custom_tpu="fused"))
+    rng = np.random.RandomState(5)
+    B, H, N, D = 1, 1, 640, 64  # 640 -> Np=768, three 256-row query tiles
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=40,
+                              approx_flag=True, pred_mode="ex_pred")
+    out_f, _ = topk_attention(q, k, v, D ** -0.5, FUSED, cfg)
+    ref = _xla_topk_dense(q, k, v, D ** -0.5, FUSED, cfg)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

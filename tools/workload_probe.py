@@ -113,3 +113,29 @@ def pixart_probe(B=8, steps=20):
 if __name__ == "__main__":
     deit_probe()
     pixart_probe()
+
+
+def dit512_probe(B=4):
+    """DiT-XL/2 at 512x512 (N=1024 tokens): the query-tiled kernel path."""
+    from mx_quantization_tpu.models import (DiT_models, DiTQuantConfig,
+                                            dit_forward_with_cfg, init_dit)
+    cfg = DiT_models["DiT-XL/2"](input_size=64)
+    params = init_dit(jax.random.key(0), cfg)
+    q_params, specs = prequantize_weights(params, SPECS)
+    qcfg = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=154,
+                          ex_pred=True, pred_mode="ex_pred",
+                          exclude_blocks=(27,), topk_key_bits=16,
+                          activation_dtype="bfloat16")
+    x = 0.1 * jax.random.normal(jax.random.key(1), (2 * B, 4, 64, 64))
+    t_ = jnp.full((2 * B,), 500.0)
+    y = jnp.concatenate([jnp.arange(B) % 1000, jnp.full((B,), 1000)]
+                        ).astype(jnp.int32)
+
+    @jax.jit
+    def step(p, x, t_, y):
+        out = dit_forward_with_cfg(p, x, t_, y, cfg, qcfg, cfg_scale=4.0)
+        return x - 0.01 * out[:, :4]
+
+    t = timed_steps(step, (q_params, x, t_, y), feed=1)
+    print(f"DiT-XL/2 512 (k=154, B={B} CFG-doubled): {t*1e3:.1f} ms/step -> "
+          f"{B/(t*100):.4f} imgs/sec @100 steps", flush=True)
