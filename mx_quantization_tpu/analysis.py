@@ -71,3 +71,32 @@ class AnalysisWriter:
         path = os.path.join(self.out_dir, f"{name}.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps(record) + "\n")
+
+
+def mismatch_analysis(true_idx_file: str, pred_idx_file: str,
+                      out_file: str = "mismatch_idx.jsonl") -> str:
+    """Offline differ of two top-k index dumps: for each record, list the
+    true-top-k indices the predictor missed (reference
+    funcs/analysis.py:159-191, which diffs per-token text dumps; here the
+    dumps are the AnalysisWriter JSONL records with an "idx" list keyed by
+    (block, head, token)).  Returns the output path.
+    """
+    def load(path):
+        recs = {}
+        with open(path) as f:
+            for line in f:
+                r = json.loads(line)
+                recs[(r.get("block"), r.get("head"), r.get("token"))] = \
+                    r["idx"]
+        return recs
+
+    true_recs = load(true_idx_file)
+    pred_recs = load(pred_idx_file)
+    with open(out_file, "w") as f:
+        for key, true_idx in true_recs.items():
+            pred = set(pred_recs.get(key, ()))
+            missed = [i for i in true_idx if i not in pred]
+            f.write(json.dumps({"block": key[0], "head": key[1],
+                                "token": key[2], "n_missed": len(missed),
+                                "missed": missed}) + "\n")
+    return out_file

@@ -269,3 +269,18 @@ def test_timestep_samplers():
     frac0 = float(jnp.mean((t == 0).astype(jnp.float32)))
     assert frac0 > 0.3  # t=0 heavily sampled
     assert bool(jnp.isfinite(w).all())
+
+
+def test_mismatch_analysis(tmp_path):
+    """Offline top-k index differ (reference funcs/analysis.py:159-191)."""
+    import json
+    from mx_quantization_tpu.analysis import mismatch_analysis
+    t = tmp_path / "true.jsonl"
+    p = tmp_path / "pred.jsonl"
+    t.write_text(json.dumps({"block": 0, "head": 0, "token": 0,
+                             "idx": [1, 2, 3]}) + "\n")
+    p.write_text(json.dumps({"block": 0, "head": 0, "token": 0,
+                             "idx": [2, 3, 9]}) + "\n")
+    out = mismatch_analysis(str(t), str(p), str(tmp_path / "diff.jsonl"))
+    rec = json.loads(open(out).read())
+    assert rec["n_missed"] == 1 and rec["missed"] == [1]
