@@ -158,6 +158,52 @@ def _fused_ad_bwd(scale, mx_specs, cfg, res, g):
 _fused_topk_attention_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
 
 
+def fused_qkv_eligible(mx_specs, cfg: "TopKAttentionConfig", n: int) -> bool:
+    """Can self-attention run on the qkv-direct kernel entry (one fused
+    qkv projection, short sequence, no bias)?"""
+    return (mx_specs is not None and mx_specs.custom_tpu == "fused"
+            and cfg.mx_quant and cfg.sparse_impl == "dense" and n <= 512
+            and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
+            and (cfg.pred_mode == "ex_pred" or not cfg.approx_flag))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_qkv_topk_attention(qkv, num_heads, scale, mx_specs, cfg):
+    """(B, N, 3*H*D) fused-qkv activations -> (B, N, H*D): the qkv-direct
+    kernel entry (no q/k/v relayouts), with the XLA-path surrogate VJP."""
+    from .ops.kernels.topk_attention import fused_topk_attention_qkv
+    return fused_topk_attention_qkv(
+        qkv, num_heads, k=cfg.k, scale=scale,
+        block_size=mx_specs.block_size,
+        scale_bits=mx_specs.effective_scale_bits(),
+        approx=cfg.approx_flag, key_bits=cfg.key_bits,
+        out_dtype=jnp.dtype(cfg.out_dtype))
+
+
+def _fused_qkv_ad_fwd(qkv, num_heads, scale, mx_specs, cfg):
+    return fused_qkv_topk_attention(qkv, num_heads, scale, mx_specs,
+                                    cfg), (qkv,)
+
+
+def _fused_qkv_ad_bwd(num_heads, scale, mx_specs, cfg, res, g):
+    (qkv,) = res
+    B, N, F = qkv.shape
+    H = num_heads
+    D = F // (3 * H)
+
+    def f(qkv):
+        parts = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+        out = _xla_topk_dense(parts[0], parts[1], parts[2], scale,
+                              mx_specs, cfg)
+        return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+    _, vjp = jax.vjp(f, qkv)
+    return vjp(g)
+
+
+fused_qkv_topk_attention.defvjp(_fused_qkv_ad_fwd, _fused_qkv_ad_bwd)
+
+
 def topk_attention(
     q: jax.Array,
     k: jax.Array,

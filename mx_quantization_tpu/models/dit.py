@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..attention import TopKAttentionConfig, topk_attention
+from ..attention import (TopKAttentionConfig, fused_qkv_eligible,
+                         fused_qkv_topk_attention, topk_attention)
 from ..ops import conv2d, linear
 from ..specs import MxSpecs
 from .common import (Params, conv_init, linear_init, patch_embed,
@@ -193,14 +194,20 @@ def dit_attention(p: Params, x: jax.Array, cfg: DiTConfig,
     mxs = specs if attn_cfg.mx_quant else None
     qkv = linear(x, p["qkv"]["weight"], p["qkv"].get("bias"), mx_specs=mxs)
     if attn_cfg.out_dtype == "bfloat16":
-        # bf16 serving: the (B,H,N,D) relayout copies and the kernel reads
-        # move half the bytes (bf16 keeps the full 8-bit MXINT mantissa)
+        # bf16 serving: the relayout copies and the kernel reads move half
+        # the bytes (bf16 keeps the full 8-bit MXINT mantissa)
         qkv = qkv.astype(jnp.bfloat16)
-    qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    out, _ = topk_attention(q, k, v, D ** -0.5, mxs, attn_cfg,
-                            orthogonal_matrix=orthogonal_matrix)
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    if (fused_qkv_eligible(mxs, attn_cfg, N)
+            and (attn_cfg.pred_mode == "ex_pred"
+                 or not attn_cfg.approx_flag)):
+        # qkv-direct kernel entry: no (3,B,H,N,D) relayouts either side
+        out = fused_qkv_topk_attention(qkv, H, D ** -0.5, mxs, attn_cfg)
+    else:
+        qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out, _ = topk_attention(q, k, v, D ** -0.5, mxs, attn_cfg,
+                                orthogonal_matrix=orthogonal_matrix)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
     return linear(out, p["proj"]["weight"], p["proj"].get("bias"),
                   mx_specs=mxs)
 

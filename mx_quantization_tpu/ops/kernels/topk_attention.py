@@ -265,6 +265,72 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
         key_bits=key_bits).astype(out_dtype)
 
 
+def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
+                     mbits, scale_bits, k, scale, s_valid, approx, key_bits,
+                     out_dtype):
+    """One batch row per grid step: x (1, Np, 3*H*D) is the fused qkv
+    linear output (feature order (3, H, D)); all H heads are attended
+    in-VMEM and the output is written proj-ready as (1, Np, H*D) — no
+    (3, B, H, N, D) HBM relayouts on either side."""
+    H, D = num_heads, head_dim
+    x = x_ref[0]
+    outs = []
+    for h in range(H):
+        q_nd = x[:, h * D:(h + 1) * D]
+        k_nd = x[:, (H + h) * D:(H + h + 1) * D]
+        v_nd = x[:, (2 * H + h) * D:(2 * H + h + 1) * D]
+        qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, D, approx)
+        kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, D, approx)
+        v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
+                              scale_bits)
+        outs.append(_score_select_output(
+            qv, aq, kv, ak, v_q, None, block_size=block_size, mbits=mbits,
+            scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
+            approx=approx, key_bits=key_bits).astype(out_dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "k", "scale",
+                                             "block_size", "mbits",
+                                             "scale_bits", "approx",
+                                             "key_bits", "out_dtype"))
+def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
+                             block_size: int = 32, mbits: int = 8,
+                             scale_bits: int = 8, approx: bool = True,
+                             key_bits: int = 32, out_dtype=jnp.float32):
+    """(B, N, 3*H*D) fused-qkv activations -> (B, N, H*D) attention output.
+
+    Self-attention fast path for models with a single fused qkv projection
+    (DeiT/DiT): the kernel consumes the linear's output layout directly and
+    emits the projection-ready layout, skipping the two HBM relayouts the
+    split-q/k/v entry needs.  Numerics identical to fused_topk_attention.
+    """
+    B, N, F = qkv.shape
+    H = num_heads
+    D = F // (3 * H)
+    Np = _round_up(N, 128)
+    if Np != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+
+    kern = functools.partial(
+        _qkv_attn_kernel, num_heads=H, head_dim=D, block_size=block_size,
+        mbits=mbits, scale_bits=scale_bits, k=k, scale=scale, s_valid=N,
+        approx=approx, key_bits=key_bits, out_dtype=out_dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, Np, F), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, Np, H * D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, H * D), out_dtype),
+        interpret=_use_interpret(),
+    )(qkv)
+    if Np != N:
+        out = out[:, :N]
+    return out
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 

@@ -101,3 +101,35 @@ def test_fused_kernel_query_tiled_long_sequence():
     ref = _xla_topk_dense(q, k, v, D ** -0.5, FUSED, cfg)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_qkv_entry_matches_split_entry():
+    """fused_topk_attention_qkv (qkv-direct layout) == fused_topk_attention
+    on split q/k/v, values and gradients."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mx_quantization_tpu import finalize_mx_specs
+    from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                               fused_qkv_topk_attention,
+                                               _fused_topk_attention_ad)
+    FUSED = finalize_mx_specs(dict(
+        w_elem_format="int8", a_elem_format="int8", scale_bits=8,
+        block_size=32, quantize_backprop=False, custom_tpu="fused"))
+    rng = np.random.RandomState(7)
+    B, H, N, D = 2, 3, 40, 64
+    qkv = jnp.asarray(rng.randn(B, N, 3 * H * D).astype(np.float32))
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=9,
+                              approx_flag=True, pred_mode="ex_pred")
+    out_qkv = fused_qkv_topk_attention(qkv, H, D ** -0.5, FUSED, cfg)
+
+    parts = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+    out_split = _fused_topk_attention_ad(parts[0], parts[1], parts[2],
+                                         None, D ** -0.5, FUSED, cfg)
+    out_split = out_split.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+    np.testing.assert_array_equal(np.asarray(out_qkv),
+                                  np.asarray(out_split))
+
+    g1 = jax.grad(lambda q: jnp.sum(
+        fused_qkv_topk_attention(q, H, D ** -0.5, FUSED, cfg) ** 2))(qkv)
+    assert g1.shape == qkv.shape and bool(jnp.isfinite(g1).all())
