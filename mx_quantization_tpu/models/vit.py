@@ -23,7 +23,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..attention import TopKAttentionConfig, topk_attention
+from ..attention import (TopKAttentionConfig, fused_qkv_eligible,
+                         fused_qkv_topk_attention, topk_attention)
 from ..ops import conv2d, gelu, layer_norm, linear
 from ..specs import MxSpecs
 from .common import (Params, conv_init, linear_init, ln_init, trunc_normal)
@@ -126,12 +127,16 @@ def vit_attention(p: Params, x: jax.Array, cfg: VitConfig,
     H, D = cfg.num_heads, cfg.head_dim
     mxs = specs if attn_cfg.mx_quant else None
     qkv = linear(x, p["qkv"]["weight"], p["qkv"].get("bias"), mx_specs=mxs)
-    qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
     scale = D ** -0.5
-    out, _ = topk_attention(q, k, v, scale, mxs, attn_cfg,
-                            orthogonal_matrix=orthogonal_matrix)
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    if fused_qkv_eligible(mxs, attn_cfg, N):
+        # qkv-direct kernel entry: no (3,B,H,N,D) relayouts either side
+        out = fused_qkv_topk_attention(qkv, H, scale, mxs, attn_cfg)
+    else:
+        qkv = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out, _ = topk_attention(q, k, v, scale, mxs, attn_cfg,
+                                orthogonal_matrix=orthogonal_matrix)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
     out = linear(out, p["proj"]["weight"], p["proj"].get("bias"), mx_specs=mxs)
     return out
 
