@@ -222,8 +222,14 @@ def _ln(x, eps=1e-6):
 def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
                 cfg: DiTConfig, qcfg: DiTQuantConfig,
                 timestep_idx: Optional[int] = None,
-                orthogonal_matrix=None) -> jax.Array:
-    """(B, C, H, W) latents + (B,) timesteps + (B,) labels -> (B, outC, H, W)."""
+                orthogonal_matrix=None,
+                residual_sharding=None) -> jax.Array:
+    """(B, C, H, W) latents + (B,) timesteps + (B,) labels -> (B, outC, H, W).
+
+    residual_sharding: optional PartitionSpec for the (B, N, C) residual
+    stream — sequence parallelism: constrain tokens over a mesh axis
+    between blocks and let XLA insert the attention gathers.
+    """
     B = x.shape[0]
     hs = cfg.hidden_size
     specs = qcfg.mx_specs if qcfg.mx_quant else None
@@ -250,7 +256,13 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
     x = x.astype(act_dtype)
     cb = c.astype(act_dtype)
 
+    def _sp(h):
+        if residual_sharding is None:
+            return h
+        return jax.lax.with_sharding_constraint(h, residual_sharding)
+
     def block_body(bp, attn_cfg, x):
+        x = _sp(x)
         mxs = specs if attn_cfg.mx_quant else None
         mod = linear(jax.nn.silu(cb), bp["adaLN"]["weight"],
                      bp["adaLN"]["bias"]).astype(act_dtype)

@@ -17,3 +17,4 @@ from .mesh import (
     shard_dit_params_tp,
 )
 from .distributed import initialize_distributed
+from .pipeline import pipeline_blocks

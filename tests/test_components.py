@@ -284,3 +284,36 @@ def test_mismatch_analysis(tmp_path):
     out = mismatch_analysis(str(t), str(p), str(tmp_path / "diff.jsonl"))
     rec = json.loads(open(out).read())
     assert rec["n_missed"] == 1 and rec["missed"] == [1]
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe pipeline over the stacked depth axis == sequential scan
+    (new capability; the reference has no PP, SURVEY.md 2.6)."""
+    import os
+    from mx_quantization_tpu.parallel import MeshPlan, make_mesh
+    from mx_quantization_tpu.parallel.pipeline import pipeline_blocks
+    from mx_quantization_tpu.models.stacked import stack_blocks
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(MeshPlan(data=2, model=4), devs)
+
+    D, B, F = 8, 8, 16
+    rng = np.random.RandomState(3)
+    blocks = [{"w": jnp.asarray(rng.randn(F, F).astype(np.float32) * 0.2),
+               "b": jnp.asarray(rng.randn(F).astype(np.float32) * 0.1)}
+              for _ in range(D)]
+    stacked = stack_blocks(blocks)
+    x = jnp.asarray(rng.randn(B, F).astype(np.float32))
+
+    def body(bp, x):
+        return jnp.tanh(x @ bp["w"] + bp["b"])
+
+    seq = x
+    for bl in blocks:
+        seq = body(bl, seq)
+
+    out = pipeline_blocks(stacked, body, x, mesh, axis="model", n_micro=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
+                               rtol=1e-6, atol=1e-6)
