@@ -49,6 +49,11 @@ class PixArtConfig:
     patch_size: int = 2
     caption_channels: int = 4096   # T5-XXL
     norm_eps: float = 1e-6
+    # None -> diffusers default (sample_size==128, i.e. the alpha 1024px
+    # model); PixArt-Sigma checkpoints were trained WITHOUT micro-conds at
+    # every resolution, so the Sigma driver sets False explicitly
+    # (MX_pixart_transformer_2d.py:107,134-139).
+    micro_conds: Optional[bool] = None
 
     @property
     def inner_dim(self):
@@ -60,6 +65,8 @@ class PixArtConfig:
 
     @property
     def use_additional_conditions(self):
+        if self.micro_conds is not None:
+            return self.micro_conds
         return self.sample_size == 128
 
 
@@ -145,6 +152,18 @@ def init_pixart(key: jax.Array, cfg: PixArtConfig) -> Params:
         "emb_mlp2": lin(tk[1], d, d),
         "linear": lin(tk[2], d, 6 * d),
     }
+    if cfg.use_additional_conditions:
+        # alpha-1024 micro-conditioning: resolution (H,W) + aspect-ratio
+        # sinusoidal embeddings, each through its own 2-layer MLP to d//3
+        # channels, concatenated (2*d/3 + d/3 = d) and ADDED to the timestep
+        # embedding (diffusers PixArtAlphaCombinedTimestepSizeEmbeddings,
+        # wired by the reference at MX_pixart_transformer_2d.py:186-189)
+        rk = jax.random.split(keys[-3], 4)
+        sd = d // 3
+        p["adaln_single"]["res_mlp0"] = lin(rk[0], 256, sd)
+        p["adaln_single"]["res_mlp2"] = lin(rk[1], sd, sd)
+        p["adaln_single"]["ar_mlp0"] = lin(rk[2], 256, sd)
+        p["adaln_single"]["ar_mlp2"] = lin(rk[3], sd, sd)
     ck = jax.random.split(keys[2], 2)
     p["caption_projection"] = {
         "linear_1": lin(ck[0], cfg.caption_channels, d),
@@ -205,7 +224,9 @@ def pixart_forward(params: Params, hidden_states: jax.Array,
                    cfg: PixArtConfig, qcfg: PixArtQuantConfig,
                    encoder_attention_mask: Optional[jax.Array] = None,
                    timestep_idx: Optional[int] = None,
-                   orthogonal_matrix=None) -> jax.Array:
+                   orthogonal_matrix=None,
+                   resolution: Optional[jax.Array] = None,
+                   aspect_ratio: Optional[jax.Array] = None) -> jax.Array:
     """(B, C, H, W) latents + (B, S, 4096) T5 states + (B,) timesteps
     -> (B, out_channels, H, W)."""
     B = hidden_states.shape[0]
@@ -230,6 +251,24 @@ def pixart_forward(params: Params, hidden_states: jax.Array,
     emb = linear(emb, ada["emb_mlp0"]["weight"], ada["emb_mlp0"]["bias"])
     emb = jax.nn.silu(emb)
     emb = linear(emb, ada["emb_mlp2"]["weight"], ada["emb_mlp2"]["bias"])
+    if cfg.use_additional_conditions:
+        if resolution is None:
+            # pipeline default: the model's native pixel resolution, square
+            px = float(cfg.sample_size * 8)
+            resolution = jnp.full((B, 2), px, jnp.float32)
+        if aspect_ratio is None:
+            aspect_ratio = jnp.ones((B, 1), jnp.float32)
+
+        def size_emb(v, m0, m2):
+            # (B, n) scalars -> per-scalar sinusoidal-256 -> MLP -> (B, n*d/3)
+            e = timestep_embedding(v.reshape(-1), 256)
+            e = linear(e, ada[m0]["weight"], ada[m0]["bias"])
+            e = linear(jax.nn.silu(e), ada[m2]["weight"], ada[m2]["bias"])
+            return e.reshape(v.shape[0], -1)
+
+        emb = emb + jnp.concatenate(
+            [size_emb(resolution, "res_mlp0", "res_mlp2"),
+             size_emb(aspect_ratio, "ar_mlp0", "ar_mlp2")], axis=-1)
     t6 = linear(jax.nn.silu(emb), ada["linear"]["weight"],
                 ada["linear"]["bias"])  # (B, 6d)
 

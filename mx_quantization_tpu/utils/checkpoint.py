@@ -200,6 +200,17 @@ def load_pixart_checkpoint(path: str, num_layers: int = 28):
         "scale_shift_table": t2n2("scale_shift_table"),
         "proj_out": lin("proj_out"),
     }
+    # alpha-1024 micro-conditioning embedders (absent in 256/512 alpha and
+    # in all Sigma checkpoints; models/pixart.py size_emb)
+    if "adaln_single.emb.resolution_embedder.linear_1.weight" in sd:
+        p["adaln_single"]["res_mlp0"] = lin(
+            "adaln_single.emb.resolution_embedder.linear_1")
+        p["adaln_single"]["res_mlp2"] = lin(
+            "adaln_single.emb.resolution_embedder.linear_2")
+        p["adaln_single"]["ar_mlp0"] = lin(
+            "adaln_single.emb.aspect_ratio_embedder.linear_1")
+        p["adaln_single"]["ar_mlp2"] = lin(
+            "adaln_single.emb.aspect_ratio_embedder.linear_2")
     blocks = []
     for i in range(num_layers):
         pre = f"transformer_blocks.{i}."

@@ -1,7 +1,10 @@
-"""PixArt-alpha text-to-image inference workload.
+"""PixArt-alpha / PixArt-Sigma text-to-image inference workload.
 
 Re-implements the reference alpha pipeline
-(workloads/PixArt/scripts/text_local_inference_alpha.py:39-254) TPU-first:
+(workloads/PixArt/scripts/text_local_inference_alpha.py:39-254) TPU-first;
+``--variant sigma`` selects the Sigma operating point
+(text_local_inference_sigma.py:44-130 — same MX transformer at 1024/2K
+resolution, 300-token T5 captions, no micro-conditioning):
 
   Phase 1: T5 text encoding — done OFFLINE exactly like the reference (it
   encodes all prompts, caches embeds, then frees the T5, alpha:86-103).
@@ -101,7 +104,13 @@ def sample_pixart(params, cfg: PixArtConfig, qcfg: PixArtQuantConfig,
 
 
 def build_argparser():
-    p = argparse.ArgumentParser("PixArt-alpha MX inference")
+    p = argparse.ArgumentParser("PixArt-alpha / PixArt-Sigma MX inference")
+    p.add_argument("--variant", default="alpha", choices=["alpha", "sigma"],
+                   help="alpha: 120-token T5, micro-conds at 1024px; "
+                        "sigma: 300-token T5, no micro-conds "
+                        "(text_local_inference_sigma.py)")
+    p.add_argument("--max-token-length", type=int, default=None,
+                   help="T5 caption length (default: 120 alpha / 300 sigma)")
     p.add_argument("--transformer-ckpt", default=None)
     p.add_argument("--prompt-embeds", default=None,
                    help=".npz with embeds/mask/null_embeds (offline T5)")
@@ -131,11 +140,16 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    # Sigma: no micro-conditioning at any resolution; alpha: diffusers
+    # default (on at sample_size 128 == 1024px)
     cfg = PixArtConfig(sample_size=args.image_size // 8,
                        num_layers=args.num_layers,
                        num_attention_heads=args.num_heads,
                        attention_head_dim=args.head_dim,
-                       caption_channels=args.caption_channels)
+                       caption_channels=args.caption_channels,
+                       micro_conds=False if args.variant == "sigma" else None)
+    tok_len = args.max_token_length or (300 if args.variant == "sigma"
+                                        else 120)
     specs = default_mx_specs(args.engine) if args.mx_quant else None
     qcfg = PixArtQuantConfig(
         mx_specs=specs, mx_quant=args.mx_quant,
@@ -149,15 +163,15 @@ def main(argv=None):
         embeds, mask = z["embeds"], z["mask"]
         null = z.get("null_embeds", np.zeros_like(embeds[:1]))
     elif args.t5_path:
-        embeds, mask = encode_prompts_t5(args.prompts, args.t5_path)
-        null, _ = encode_prompts_t5([""], args.t5_path)
+        embeds, mask = encode_prompts_t5(args.prompts, args.t5_path, tok_len)
+        null, _ = encode_prompts_t5([""], args.t5_path, tok_len)
     else:
         print("WARNING: no prompt embeds/T5 — synthetic embeds (smoke test)")
         rng = np.random.RandomState(0)
-        embeds = rng.randn(len(args.prompts), 120,
+        embeds = rng.randn(len(args.prompts), tok_len,
                            cfg.caption_channels).astype(np.float32)
-        mask = np.ones((len(args.prompts), 120), np.int32)
-        null = rng.randn(1, 120, cfg.caption_channels).astype(np.float32)
+        mask = np.ones((len(args.prompts), tok_len), np.int32)
+        null = rng.randn(1, tok_len, cfg.caption_channels).astype(np.float32)
 
     if args.transformer_ckpt:
         if args.transformer_ckpt.endswith((".safetensors", ".bin", ".pth",

@@ -63,6 +63,41 @@ def test_pixart_gating_rules():
     assert c.top_k and c.approx_flag
 
 
+def test_pixart_micro_conditioning():
+    """alpha-1024 micro-conds: resolution/aspect embeddings change the
+    output; sigma (micro_conds=False) ignores them."""
+    cfg = PixArtConfig(num_attention_heads=2, attention_head_dim=36,
+                       num_layers=1, sample_size=8, patch_size=2,
+                       cross_attention_dim=72, caption_channels=64,
+                       micro_conds=True)
+    assert cfg.use_additional_conditions
+    params = init_pixart(jax.random.key(0), cfg)
+    assert "res_mlp0" in params["adaln_single"]
+    x = jax.random.normal(jax.random.key(1), (2, 4, 8, 8))
+    ctx = jax.random.normal(jax.random.key(2), (2, 6, 64))
+    t = jnp.array([100.0, 700.0])
+    out_default = pixart_forward(params, x, ctx, t, cfg, PixArtQuantConfig())
+    res = jnp.array([[512.0, 512.0], [512.0, 512.0]])
+    ar = jnp.array([[2.0], [2.0]])
+    out_cond = pixart_forward(params, x, ctx, t, cfg, PixArtQuantConfig(),
+                              resolution=res, aspect_ratio=ar)
+    assert np.isfinite(np.asarray(out_cond)).all()
+    assert not np.allclose(np.asarray(out_default), np.asarray(out_cond))
+
+    # sigma config: same sample_size, conditioning forced off
+    sigma_cfg = PixArtConfig(num_attention_heads=2, attention_head_dim=36,
+                             num_layers=1, sample_size=8, patch_size=2,
+                             cross_attention_dim=72, caption_channels=64,
+                             micro_conds=False)
+    assert not sigma_cfg.use_additional_conditions
+    sp = init_pixart(jax.random.key(0), sigma_cfg)
+    assert "res_mlp0" not in sp["adaln_single"]
+    a = pixart_forward(sp, x, ctx, t, sigma_cfg, PixArtQuantConfig())
+    b = pixart_forward(sp, x, ctx, t, sigma_cfg, PixArtQuantConfig(),
+                       resolution=res, aspect_ratio=ar)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pixart_true_ex_mode():
     params = init_pixart(jax.random.key(0), TINY)
     x = jax.random.normal(jax.random.key(1), (1, 4, 8, 8))

@@ -46,6 +46,19 @@ def test_pixart_main_synthetic(tmp_path):
     assert os.path.exists(out)
 
 
+def test_pixart_main_sigma_variant(tmp_path):
+    """Sigma driver: 300-token captions, micro-conds off
+    (text_local_inference_sigma.py operating point, scaled down)."""
+    from mx_quantization_tpu.workloads.pixart import main
+    out = str(tmp_path / "s.npz")
+    main(["--variant", "sigma", "--image-size", "32", "--num-steps", "2",
+          "--out", out, "--num-layers", "2", "--num-heads", "2",
+          "--head-dim", "32", "--caption-channels", "64",
+          "--max-token-length", "16", "--mx-quant", "--self-top-k",
+          "--self-k", "4", "--prompts", "a dog", "--engine", "ref"])
+    assert os.path.exists(out)
+
+
 def test_inject_context():
     from mx_quantization_tpu import finalize_mx_specs
     from mx_quantization_tpu.inject import linear, quantized
