@@ -92,7 +92,7 @@ def main():
 
     qcfg_mx = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True,
                              k=154, ex_pred=True, pred_mode="ex_pred",
-                             exclude_blocks=(27,), topk_key_bits=16,
+                             exclude_blocks=(27,), topk_key_bits=8,
                              activation_dtype="bfloat16")
     qcfg_fp = DiTQuantConfig(mx_quant=False)
 

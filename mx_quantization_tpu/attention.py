@@ -44,7 +44,9 @@ class TopKAttentionConfig(NamedTuple):
     key_bits: ranking precision of the top-k selection on the fused engine —
     32 = exact f32 (matches the emulation bit-for-bit), 16 = bf16-precision
     ranking (half the selection latency; differs only between scores closer
-    than one bf16 ulp).
+    than one bf16 ulp), 8 = sign+exponent ranking (9 count passes instead
+    of 17; at the DiT operating point it flips ~6/154 borderline indices
+    per row for a 0.13% softmax-mass-recall cost — tools/keybits_quality.py).
     out_dtype: output dtype of the fused kernel ("float32" parity default;
     "bfloat16" halves the output HBM write in bf16-activation serving, where
     the consumer casts to bf16 immediately anyway).

@@ -202,6 +202,16 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
         keys = jax.lax.shift_right_arithmetic(keys, 16)
         kth = _kth_keys(keys, k, n_iters=17, lo_init=-32769,
                         hi_init=32768)
+    elif key_bits == 8:
+        # sign+exponent ranking: scores collapse to their top 8 bits
+        # (sign + 7 exponent bits), the search drops to 9 iterations.
+        # Rows tie whenever two scores share a power-of-two bracket; the
+        # rank machinery still picks exactly k, lowest index first.  For
+        # the exponent-based predictors (whose scores are sums of ±2^e
+        # terms) the measured softmax-mass recall is within noise of exact
+        # selection — see tools/keybits_quality.py.
+        keys = jax.lax.shift_right_arithmetic(keys, 24)
+        kth = _kth_keys(keys, k, n_iters=9, lo_init=-129, hi_init=128)
     else:
         kth = _kth_keys(keys, k)
     gt = keys > kth

@@ -77,6 +77,42 @@ def test_key_bits_16_selection_close_to_exact():
     assert frac_same > 0.95, frac_same
 
 
+def test_key_bits_8_selection_mask_semantics():
+    """sign+exponent ranking (key_bits=8) must equal a dense reference that
+    ranks by the top 8 bits of the monotone keys with lowest-index-first
+    ties — the selection is coarser than exact but still deterministic."""
+    from mx_quantization_tpu.attention import predict_scores
+    from mx_quantization_tpu.ops import matmul
+    from mx_quantization_tpu.ops.kernels.topk_attention import _mono_keys
+    q = rand(1, 2, 128, 64, seed=30)
+    k = rand(1, 2, 128, 64, seed=31)
+    v = rand(1, 2, 128, 64, seed=32)
+    kk, scale = 48, 0.125
+    out8 = np.asarray(fused_topk_attention(q, k, v, k=kk, scale=scale,
+                                           key_bits=8))
+
+    # dense reference with 8-bit keys
+    true_scores = np.asarray(matmul(q, jnp.swapaxes(k, -1, -2),
+                                    mx_specs=FUSED, mode_config="aa")) * scale
+    sel_scores = predict_scores(q, k, FUSED, "ex_pred")
+    keys = np.asarray(_mono_keys(sel_scores)) >> 24
+    kth = np.partition(keys, -kk, axis=-1)[..., -kk]
+    gt = keys > kth[..., None]
+    eq = keys == kth[..., None]
+    n_gt = gt.sum(-1)
+    rank = np.cumsum(eq, axis=-1)
+    sel = gt | (eq & (rank <= (kk - n_gt)[..., None]))
+    assert (sel.sum(-1) == kk).all()
+
+    masked = np.where(sel, true_scores, -np.inf)
+    e = np.exp(masked - masked.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    # requantize attn + v like the kernel (via the library matmul)
+    ref = np.asarray(matmul(jnp.asarray(attn.astype(np.float32)), v,
+                            mx_specs=FUSED, mode_config="aa"))
+    np.testing.assert_allclose(out8, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_fused_kernel_query_tiled_long_sequence():
     """N > 512 routes to the query-tiled kernel (K side cached in scratch)
     and matches the XLA fused path row-for-row."""
