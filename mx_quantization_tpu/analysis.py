@@ -59,6 +59,27 @@ def attention_prediction_quality(true_scores: jax.Array, idx: jax.Array,
     }
 
 
+def init_analysis_files(attn_type: str, anal_dir: str, k: int,
+                        approx_flag: bool, pred_mode: str,
+                        total_timestep: int) -> Dict[int, Dict[str, str]]:
+    """Per-timestep analysis file map (reference init_analysis_files,
+    funcs/analysis.py:36-54): {timestep: {idx, vals, diff_idx}} paths under
+    <anal_dir>/<attn_type>/<pred_mode|true>/, with the diff_idx files
+    created empty like the reference does."""
+    sub = pred_mode if approx_flag else "true"
+    base = os.path.join(anal_dir, attn_type, sub)
+    os.makedirs(base, exist_ok=True)
+    files: Dict[int, Dict[str, str]] = {}
+    for t in range(total_timestep):
+        files[t] = {
+            "idx": os.path.join(base, f"top{k}_idx_t{t}.txt"),
+            "vals": os.path.join(base, f"top{k}_vals_t{t}.txt"),
+            "diff_idx": os.path.join(base, f"top{k}_diff_idx_t{t}.txt"),
+        }
+        open(files[t]["diff_idx"], "w").close()
+    return files
+
+
 class AnalysisWriter:
     """Per-block/timestep JSONL writer (replaces the reference's per-file
     text dumps, funcs/analysis.py:36-54)."""

@@ -37,12 +37,16 @@ from .linear import bmm, linear, matmul, mx_dot, mx_linear, mx_matmul
 from .softmax import mx_softmax, softmax
 from .activations import (
     gelu,
+    leaky_relu,
     mx_gelu,
+    mx_leaky_relu,
     mx_relu,
+    mx_relu6,
     mx_sigmoid,
     mx_silu,
     mx_tanh,
     relu,
+    relu6,
     sigmoid,
     silu,
     tanh,
@@ -61,7 +65,7 @@ from .pooling import adaptive_avg_pool2d, mx_adaptive_avg_pool2d
 from .batchnorm import BatchNormState, batch_norm, init_batchnorm_state
 from .rnn import LSTMParams, init_lstm, lstm
 from .simd import (simd_add, simd_div, simd_exp, simd_log, simd_mul,
-                   simd_norm, simd_reduce_mean, simd_reduce_sum, simd_sqrt,
-                   simd_square, simd_sub)
+                   simd_norm, simd_reduce_mean, simd_reduce_sum, simd_split,
+                   simd_sqrt, simd_square, simd_sub)
 from .quantize_ste import quantize_bfloat_grad, quantize_mx_ste
 from .fastquant import fused_eligible, quantize_mx_fast

@@ -201,3 +201,65 @@ def tanh(x, mx_specs=None):
     if mx_specs is None:
         return jnp.tanh(x)
     return mx_tanh(x, mx_specs)
+
+
+# ----------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def mx_relu6(x, mx_specs):
+    """min(max(x, 0), 6); grad passes where 0 < out < 6 (reference
+    ReLU6Function, activations.py:340-378 — input is not pre-quantized,
+    the clamp only masks)."""
+    out, _ = _relu6_fwd(x, mx_specs)
+    return out
+
+
+def _relu6_fwd(x, specs):
+    out = vec_quantize(jnp.clip(x, 0.0, 6.0), specs)
+    return out, ((out > 0) & (out < 6),)
+
+
+def _relu6_bwd(specs, res, g):
+    mask, = res
+    b = specs.backwards()
+    return (vec_quantize(jnp.where(mask, g, jnp.zeros_like(g)), b),)
+
+
+mx_relu6.defvjp(_relu6_fwd, _relu6_bwd)
+
+
+def relu6(x, mx_specs=None):
+    if mx_specs is None:
+        return jnp.clip(x, 0.0, 6.0)
+    return mx_relu6(x, mx_specs)
+
+
+# ----------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def mx_leaky_relu(x, negative_slope, mx_specs):
+    """x if x > 0 else slope*x on the quantized input; grad is g where
+    out > 0 else slope*g (reference LeakyReLUFunction,
+    activations.py:383-413)."""
+    out, _ = _leaky_fwd(x, negative_slope, mx_specs)
+    return out
+
+
+def _leaky_fwd(x, slope, specs):
+    q = vec_quantize(x, specs)
+    out = vec_quantize(jnp.where(q > 0, q, slope * q), specs)
+    return out, (out > 0,)
+
+
+def _leaky_bwd(slope, specs, res, g):
+    mask, = res
+    b = specs.backwards()
+    g = vec_quantize(g, b)
+    return (jnp.where(mask, g, vec_mul(g, slope, b)),)
+
+
+mx_leaky_relu.defvjp(_leaky_fwd, _leaky_bwd)
+
+
+def leaky_relu(x, negative_slope=0.01, mx_specs=None):
+    if mx_specs is None:
+        return jnp.where(x > 0, x, negative_slope * x)
+    return mx_leaky_relu(x, negative_slope, mx_specs)

@@ -192,3 +192,29 @@ def simd_norm(x, mx_specs=None):
     sq = simd_square(x, mx_specs)
     s = simd_reduce_sum(sq, list(range(x.ndim)), False, mx_specs)
     return simd_sqrt(s, mx_specs)
+
+
+def simd_split(x, mx_specs=None):
+    """x -> (x, x); backward sums the two branch grads through the
+    quantized add (reference SIMDSplit, simd_ops.py:262-282)."""
+    if mx_specs is None:
+        return x, x
+    return _simd_split(x, mx_specs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _simd_split(x, specs):
+    return x, x
+
+
+def _split_fwd(x, specs):
+    return (x, x), ()
+
+
+def _split_bwd(specs, res, gs):
+    g1, g2 = gs
+    b = specs.backwards()
+    return (vec_add(vec_quantize(g1, b), vec_quantize(g2, b), b),)
+
+
+_simd_split.defvjp(_split_fwd, _split_bwd)

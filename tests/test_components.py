@@ -317,3 +317,16 @@ def test_pipeline_parallel_matches_sequential():
     out = pipeline_blocks(stacked, body, x, mesh, axis="model", n_micro=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_init_analysis_files(tmp_path):
+    """Per-timestep analysis file map (reference funcs/analysis.py:36-54)."""
+    from mx_quantization_tpu.analysis import init_analysis_files
+    files = init_analysis_files("self", str(tmp_path), 80, True, "ex_pred", 3)
+    assert set(files) == {0, 1, 2}
+    assert files[1]["idx"].endswith("self/ex_pred/top80_idx_t1.txt")
+    import os
+    assert os.path.exists(files[2]["diff_idx"])
+    true_files = init_analysis_files("cross", str(tmp_path), 80, False,
+                                     "ex_pred", 1)
+    assert "/true/" in true_files[0]["vals"]

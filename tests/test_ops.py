@@ -205,3 +205,42 @@ def test_topk_attention_elsa_and_bias():
     assert out.shape == (1, 2, 16, 64)
     # masked-out keys (>=8) must never be selected
     assert (np.asarray(idx) < 8).all()
+
+
+def test_relu6_leaky_relu():
+    from mx_quantization_tpu.ops import leaky_relu, relu6
+    x = rand(5, 33, seed=41) * 4.0
+    out6 = relu6(x, mx_specs=BF16_SPECS)
+    assert jnp.abs(out6 - jnp.clip(x, 0, 6)).max() < 0.05
+    # grad passes only strictly inside (0, 6)
+    g6 = jax.grad(lambda t: jnp.sum(relu6(t, mx_specs=BF16_SPECS)))(x)
+    inside = (np.asarray(x) > 0.01) & (np.asarray(x) < 5.95)
+    assert np.allclose(np.asarray(g6)[inside], 1.0)
+    assert np.allclose(np.asarray(g6)[np.asarray(x) < -0.01], 0.0)
+
+    lo = leaky_relu(x, 0.25, mx_specs=BF16_SPECS)
+    ref = jnp.where(x > 0, x, 0.25 * x)
+    assert jnp.abs(lo - ref).max() < 0.05
+    gl = jax.grad(lambda t: jnp.sum(leaky_relu(t, 0.25,
+                                               mx_specs=BF16_SPECS)))(x)
+    assert np.allclose(np.asarray(gl)[np.asarray(x) > 0.01], 1.0)
+    assert np.allclose(np.asarray(gl)[np.asarray(x) < -0.01], 0.25)
+    # unquantized fallbacks
+    np.testing.assert_allclose(np.asarray(relu6(x)),
+                               np.asarray(jnp.clip(x, 0, 6)))
+    np.testing.assert_allclose(np.asarray(leaky_relu(x, 0.1)),
+                               np.asarray(jnp.where(x > 0, x, 0.1 * x)))
+
+
+def test_simd_split():
+    from mx_quantization_tpu.ops import simd_split
+    x = rand(4, 16, seed=42)
+    a, b = simd_split(x, BF16_SPECS)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(x))
+    # backward: sum of both branch grads (reference SIMDSplit semantics)
+    g = jax.grad(lambda t: (lambda p: jnp.sum(p[0] * 2.0) + jnp.sum(p[1]))(
+        simd_split(t, BF16_SPECS)))(x)
+    assert jnp.abs(g - 3.0).max() < 1e-2
+    a2, b2 = simd_split(x)  # no-specs fallback
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(x))
