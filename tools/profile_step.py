@@ -57,7 +57,7 @@ def main():
     else:
         qcfg = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True,
                               k=154, ex_pred=True, pred_mode="ex_pred",
-                              exclude_blocks=(27,), topk_key_bits=16,
+                              exclude_blocks=(27,), topk_key_bits=8,
                               activation_dtype="bfloat16")
         p = q_params
 

@@ -95,7 +95,7 @@ def pixart_probe(B=8, steps=20):
                                self_top_k=True, self_k=77,
                                cross_top_k=True, cross_k=60,
                                pred_mode=pred_mode, exclude_blocks=(27,),
-                               topk_key_bits=16,
+                               topk_key_bits=8,
                                activation_dtype="bfloat16")
 
         @jax.jit
@@ -124,7 +124,7 @@ def dit512_probe(B=4):
     q_params, specs = prequantize_weights(params, SPECS)
     qcfg = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=154,
                           ex_pred=True, pred_mode="ex_pred",
-                          exclude_blocks=(27,), topk_key_bits=16,
+                          exclude_blocks=(27,), topk_key_bits=8,
                           activation_dtype="bfloat16")
     x = 0.1 * jax.random.normal(jax.random.key(1), (2 * B, 4, 64, 64))
     t_ = jnp.full((2 * B,), 500.0)
