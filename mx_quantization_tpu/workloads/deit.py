@@ -102,6 +102,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--exclude-blocks", type=int, nargs="*", default=[])
     p.add_argument("--exclude-block-type", default="ex_pred")
     p.add_argument("--engine", default="fused", choices=["fused", "ref"])
+    p.add_argument("--anal", action="store_true",
+                   help="per-block predictor-quality records on the first "
+                        "batch (reference --anal)")
+    p.add_argument("--anal-dir", default="analysis_out")
     p.add_argument("--sparse-impl", default="dense",
                    choices=["dense", "gather"])
     return p
@@ -139,6 +143,19 @@ def main(argv=None):
         batches = iter([(rng.randn(args.batch_size, 3, cfg.img_size,
                                    cfg.img_size).astype(np.float32),
                          rng.randint(0, 1000, args.batch_size))])
+
+    if args.anal:
+        # --anal instrumentation (reference deit main.py --anal): per-block
+        # predictor quality on the first batch's real activations
+        import itertools
+        from ..analysis import AnalysisWriter, vit_prediction_analysis
+        writer = AnalysisWriter(args.anal_dir)
+        first = next(batches)
+        batches = itertools.chain([first], batches)
+        for rec in vit_prediction_analysis(params, jnp.asarray(first[0]),
+                                           cfg, qcfg, om):
+            writer.write(rec)
+            print(json.dumps(rec))
 
     stats = evaluate(params, cfg, qcfg, batches, om)
     print(json.dumps(stats))

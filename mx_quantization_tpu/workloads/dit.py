@@ -37,7 +37,7 @@ from .deit import default_mx_specs
 def sample_dit(params, cfg: DiTConfig, qcfg: DiTQuantConfig,
                class_labels, key, num_steps: int = 100,
                cfg_scale: float = 4.0, orthogonal_matrix=None,
-               progress: bool = False) -> jax.Array:
+               progress: bool = False, anal_writer=None) -> jax.Array:
     """Generate latents for the given class labels (reference sample.py:88-127).
 
     Returns (N, 4, H, W) latents (pre-VAE).
@@ -62,6 +62,18 @@ def sample_dit(params, cfg: DiTConfig, qcfg: DiTQuantConfig,
                     timestep_idx=_i, orthogonal_matrix=orthogonal_matrix)
             step_fns[i] = model
         key, sk = jax.random.split(key)
+        if anal_writer is not None:
+            # --anal instrumentation (reference DiT/models.py:202-213):
+            # per-block predictor quality on the conditional half at this
+            # denoise step, before the step consumes it
+            from ..analysis import dit_prediction_analysis
+            half = x[:n]
+            t_real = diffusion.model_t(jnp.full((n,), i, jnp.int32)
+                                       ).astype(jnp.float32)
+            for rec in dit_prediction_analysis(
+                    params, half, t_real, y[:n], cfg, qcfg, timestep_idx=i,
+                    orthogonal_matrix=orthogonal_matrix):
+                anal_writer.write(rec)
         x = diffusion.p_sample_step(step_fns[i], x, i, sk,
                                     model_kwargs={"y": y})
         if progress:
@@ -118,6 +130,10 @@ def build_argparser():
     p.add_argument("--exclude-blocks", type=int, nargs="*", default=[27])
     p.add_argument("--exclude-timesteps", type=int, nargs="*", default=[])
     p.add_argument("--engine", default="fused", choices=["fused", "ref"])
+    p.add_argument("--anal", action="store_true",
+                   help="per-block/timestep predictor-quality records "
+                        "(reference --anal)")
+    p.add_argument("--anal-dir", default="analysis_out")
     return p
 
 
@@ -145,10 +161,15 @@ def main(argv=None):
     if args.pred_mode == "ELSA":
         om = jnp.asarray(create_structured_orthogonal_matrix(cfg.head_dim))
 
+    writer = None
+    if args.anal:
+        from ..analysis import AnalysisWriter
+        writer = AnalysisWriter(args.anal_dir)
+
     t0 = time.time()
     lat = sample_dit(params, cfg, qcfg, args.classes,
                      jax.random.key(args.seed), args.num_steps,
-                     args.cfg_scale, om)
+                     args.cfg_scale, om, anal_writer=writer)
     lat = np.asarray(lat)
     dt = time.time() - t0
     print(f"sampled {lat.shape} in {dt:.1f}s "

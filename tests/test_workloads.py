@@ -108,3 +108,36 @@ def test_fid_sharded_resume():
                        key=jax.random.key(1), rank=0, world=2, num_steps=2,
                        start_index=1)
     assert c.shape == (1, 4, 8, 8)
+
+
+def test_deit_anal_mode(tmp_path, capsys):
+    """--anal writes per-block predictor-quality records (reference deit
+    main.py --anal + funcs/analysis.py:136-157)."""
+    from mx_quantization_tpu.workloads.deit import main
+    adir = str(tmp_path / "anal")
+    main(["--model", "deit_tiny_patch16_224", "--batch-size", "4",
+          "--mx-quant", "--top-k", "--k", "16", "--engine", "ref",
+          "--anal", "--anal-dir", adir])
+    path = os.path.join(adir, "topk_analysis.jsonl")
+    recs = [json.loads(l) for l in open(path)]
+    # blocks 0..10 run top-k; block 11 is always dense (reference rule)
+    assert [r["block"] for r in recs] == list(range(11))
+    assert all(0.0 < r["softmax_recall"] <= 1.5 for r in recs)
+    assert all(16 <= r["avg_chosen_k"] <= 197 for r in recs)
+
+
+def test_dit_anal_mode(tmp_path):
+    """--anal during sampling writes per-(timestep, block) records."""
+    from mx_quantization_tpu.workloads.dit import main
+    adir = str(tmp_path / "anal")
+    out = str(tmp_path / "s.npz")
+    main(["--model", "DiT-debug", "--image-size", "64", "--num-steps", "2",
+          "--classes", "1", "--out", out, "--mx-quant", "--top-k",
+          "--k", "4", "--engine", "ref", "--exclude-blocks", "1",
+          "--anal", "--anal-dir", adir])
+    path = os.path.join(adir, "topk_analysis.jsonl")
+    recs = [json.loads(l) for l in open(path)]
+    # 2 timesteps x 1 top-k block (block 1 excluded of the 2-block debug)
+    assert len(recs) == 2
+    assert {r["timestep_idx"] for r in recs} == {0, 1}
+    assert all(r["block"] == 0 for r in recs)
