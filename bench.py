@@ -83,8 +83,9 @@ def main():
     from mx_quantization_tpu.utils.prequantize import prequantize_weights
     q_params, specs = prequantize_weights(params, specs)
 
-    B = 16  # images per forward (CFG doubles internally: 2*B model batch);
-    # best imgs/sec/chip in the B in {8,16,24} sweep (+2% over B=8)
+    B = 32  # images per forward (CFG doubles internally: 2*B model batch);
+    # best imgs/sec/chip in the B in {8,16,24,32,48,64} sweep at key_bits=8
+    # (1.345/1.381/1.400/1.394/1.369 for 16/24/32/48/64)
     x = 0.1 * jax.random.normal(jax.random.key(1), (2 * B, 4, 32, 32))
     t = jnp.full((2 * B,), 500.0)
     y = jnp.concatenate([jnp.arange(B) % 1000, jnp.full((B,), 1000)]
