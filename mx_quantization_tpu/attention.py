@@ -61,6 +61,10 @@ class TopKAttentionConfig(NamedTuple):
     out_dtype: str = "float32"
 
 
+# predictor modes the fused Pallas kernel implements in-VMEM
+_KERNEL_PRED_MODES = ("ex_pred", "two_step_leading_ones")
+
+
 def predict_scores(q, k, mx_specs: MxSpecs, pred_mode: str,
                    orthogonal_matrix=None):
     """Approximated Q.K^T scores for top-k selection."""
@@ -139,8 +143,8 @@ def _fused_topk_attention_ad(q, k, v, bias, scale, mx_specs, cfg):
     return fused_topk_attention(
         q, k, v, bias, k=cfg.k, scale=scale, block_size=mx_specs.block_size,
         scale_bits=mx_specs.effective_scale_bits(),
-        approx=cfg.approx_flag, key_bits=cfg.key_bits,
-        out_dtype=jnp.dtype(cfg.out_dtype))
+        approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
+        key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype))
 
 
 def _fused_ad_fwd(q, k, v, bias, scale, mx_specs, cfg):
@@ -166,7 +170,8 @@ def fused_qkv_eligible(mx_specs, cfg: "TopKAttentionConfig", n: int) -> bool:
     return (mx_specs is not None and mx_specs.custom_tpu == "fused"
             and cfg.mx_quant and cfg.sparse_impl == "dense" and n <= 512
             and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
-            and (cfg.pred_mode == "ex_pred" or not cfg.approx_flag))
+            and (cfg.pred_mode in _KERNEL_PRED_MODES
+                 or not cfg.approx_flag))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -178,8 +183,8 @@ def fused_qkv_topk_attention(qkv, num_heads, scale, mx_specs, cfg):
         qkv, num_heads, k=cfg.k, scale=scale,
         block_size=mx_specs.block_size,
         scale_bits=mx_specs.effective_scale_bits(),
-        approx=cfg.approx_flag, key_bits=cfg.key_bits,
-        out_dtype=jnp.dtype(cfg.out_dtype))
+        approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
+        key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype))
 
 
 def _fused_qkv_ad_fwd(qkv, num_heads, scale, mx_specs, cfg):
@@ -265,7 +270,8 @@ def topk_attention(
     if (fused and cfg.sparse_impl == "dense" and bias_ok
             and kernel_fits
             and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
-            and (cfg.pred_mode == "ex_pred" or not cfg.approx_flag)):
+            and (cfg.pred_mode in _KERNEL_PRED_MODES
+                 or not cfg.approx_flag)):
         # single fused Pallas kernel: quantize + scores + predictor +
         # selection + masked softmax + PV, all in VMEM; differentiable via
         # the XLA-path surrogate VJP

@@ -197,9 +197,7 @@ def dit_attention(p: Params, x: jax.Array, cfg: DiTConfig,
         # bf16 serving: the relayout copies and the kernel reads move half
         # the bytes (bf16 keeps the full 8-bit MXINT mantissa)
         qkv = qkv.astype(jnp.bfloat16)
-    if (fused_qkv_eligible(mxs, attn_cfg, N)
-            and (attn_cfg.pred_mode == "ex_pred"
-                 or not attn_cfg.approx_flag)):
+    if fused_qkv_eligible(mxs, attn_cfg, N):
         # qkv-direct kernel entry: no (3,B,H,N,D) relayouts either side
         out = fused_qkv_topk_attention(qkv, H, D ** -0.5, mxs, attn_cfg)
     else:

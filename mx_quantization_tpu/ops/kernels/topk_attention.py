@@ -77,6 +77,42 @@ def _exp_sign_approx(qvals, exps, block_size):
                      ).astype(jnp.bfloat16)
 
 
+def _two_step_approx(qvals, exps, block_size):
+    """EXION two-step leading-ones predictor operand: sign(q) * se *
+    (2^l1 + 2^l2)/64, where l1/l2 are the first/second leading-one
+    exponents of the integer mantissa (predictors/exponent.py
+    two_step_leading_ones; reference funcs/exponent_based_prediction.py:
+    96-177).  Matches the XLA fused path bit-for-bit: f32 arithmetic in
+    the library's operation order, then the bf16 operand cast."""
+    K, N = qvals.shape
+    nb = K // block_size
+    e_full = jnp.broadcast_to(exps[:, None, :],
+                              (nb, block_size, N)).reshape(K, N)
+    inv = jax.lax.bitcast_convert_type(
+        ((-jnp.clip(e_full, -127, 127) + 127) << 23).astype(jnp.int32),
+        jnp.float32)
+    m = qvals.astype(jnp.float32) * inv * 64.0  # integer mantissa
+
+    def lead_pow(x):
+        # 2^floor(log2 x) for x >= 0, zeros -> 2^-126 (shared_exponents
+        # method="none" zero rule)
+        b = jax.lax.bitcast_convert_type(x, jnp.int32)
+        # full-vector where branches (Mosaic i1-relayout limitation)
+        l = jnp.where(x == 0.0, jnp.full_like(b, -126), (b >> 23) - 127)
+        return jax.lax.bitcast_convert_type(
+            ((l + 127) << 23).astype(jnp.int32), jnp.float32)
+
+    p1 = lead_pow(jnp.abs(m))
+    resid = m - p1  # signed, like the library: negatives clamp to zero
+    resid = jnp.where(resid < 0.0, jnp.zeros_like(resid), resid)
+    p2 = lead_pow(resid)
+    mag = (p1 + p2) / 64.0
+    one = jnp.ones_like(m)
+    s = jnp.where(m < 0.0, -one, one)
+    s = jnp.where(m == 0.0, jnp.zeros_like(m), s)
+    return (s * e_full.astype(jnp.float32) * mag).astype(jnp.bfloat16)
+
+
 def _kth_keys(keys, k, n_iters=32, lo_init=_IMIN, hi_init=2147483647):
     """Per-row k-th largest int32 key (rows = axis 0) via binary search."""
     R = keys.shape[0]
@@ -100,8 +136,8 @@ def _mono_keys(x):
 
 
 def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
-                      s_valid, d_valid, approx, key_bits, cells, out_dtype,
-                      has_bias):
+                      s_valid, d_valid, approx, pred_mode, key_bits, cells,
+                      out_dtype, has_bias):
     """``cells`` (batch*head) cells per grid step; q (cells, N, D),
     k/v (cells, S, D), optional bias (cells, 1, S), out (cells, N, D).
 
@@ -120,10 +156,12 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
                   None if b_ref is None else b_ref[c], o_ref, c,
                   block_size=block_size, mbits=mbits, scale_bits=scale_bits,
                   k=k, scale=scale, s_valid=s_valid, d_valid=d_valid,
-                  approx=approx, key_bits=key_bits, out_dtype=out_dtype)
+                  approx=approx, pred_mode=pred_mode, key_bits=key_bits,
+                  out_dtype=out_dtype)
 
 
-def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx):
+def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
+               pred_mode="ex_pred"):
     """(n, D) tile -> transposed quantized operand (Dp, n) bf16 and, when
     ``approx``, the exp-sign predictor operand (Dp, n) bf16.
 
@@ -139,6 +177,9 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx):
     vals, exps = _quant_axis0(xt, block_size, mbits, scale_bits)
     if not approx:
         return vals, None
+    if pred_mode == "two_step_leading_ones":
+        # sign(0) = 0, so padded head-dim rows contribute 0 — no mask
+        return vals, _two_step_approx(vals, exps, block_size)
     a = _exp_sign_approx(vals, exps, block_size)
     if d_valid < Dp:
         # padded head-dim rows would contribute sign(0)*2^e; the reference
@@ -153,10 +194,12 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx):
 
 
 def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
-              scale_bits, k, scale, s_valid, d_valid, approx, key_bits,
-              out_dtype):
-    qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx)
-    kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, d_valid, approx)
+              scale_bits, k, scale, s_valid, d_valid, approx, pred_mode,
+              key_bits, out_dtype):
+    qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx,
+                        pred_mode)
+    kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, d_valid, approx,
+                        pred_mode)
     v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
                           scale_bits)
     o_ref[c] = _score_select_output(
@@ -239,8 +282,8 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
 
 
 def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
-                            s_valid, d_valid, approx, key_bits, out_dtype,
-                            has_bias):
+                            s_valid, d_valid, approx, pred_mode, key_bits,
+                            out_dtype, has_bias):
     """Query-tiled variant for long sequences (N > 512): grid (G, N/QT);
     each step attends one query tile against the FULL key/value set.  The
     quantized K side (kv, predictor operand, v_q) is computed once per cell
@@ -257,7 +300,7 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
     @pl.when(pl.program_id(1) == 0)
     def _():
         kv, ak = _prep_side(k_ref[0], block_size, mbits, scale_bits,
-                            d_valid, approx)
+                            d_valid, approx, pred_mode)
         kv_s[:] = kv
         if approx:
             ak_s[:] = ak
@@ -266,7 +309,7 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
         vq_s[:] = vq
 
     qv, aq = _prep_side(q_ref[0], block_size, mbits, scale_bits, d_valid,
-                        approx)
+                        approx, pred_mode)
     bias_row = None if b_ref is None else b_ref[0]
     o_ref[0] = _score_select_output(
         qv, aq, kv_s[:], ak_s[:] if approx else None, vq_s[:], bias_row,
@@ -276,8 +319,8 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
 
 
 def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
-                     mbits, scale_bits, k, scale, s_valid, approx, key_bits,
-                     out_dtype):
+                     mbits, scale_bits, k, scale, s_valid, approx, pred_mode,
+                     key_bits, out_dtype):
     """One batch row per grid step: x (1, Np, 3*H*D) is the fused qkv
     linear output (feature order (3, H, D)); all H heads are attended
     in-VMEM and the output is written proj-ready as (1, Np, H*D) — no
@@ -289,8 +332,10 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
         q_nd = x[:, h * D:(h + 1) * D]
         k_nd = x[:, (H + h) * D:(H + h + 1) * D]
         v_nd = x[:, (2 * H + h) * D:(2 * H + h + 1) * D]
-        qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, D, approx)
-        kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, D, approx)
+        qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, D, approx,
+                            pred_mode)
+        kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, D, approx,
+                            pred_mode)
         v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
                               scale_bits)
         outs.append(_score_select_output(
@@ -303,10 +348,12 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
 @functools.partial(jax.jit, static_argnames=("num_heads", "k", "scale",
                                              "block_size", "mbits",
                                              "scale_bits", "approx",
-                                             "key_bits", "out_dtype"))
+                                             "pred_mode", "key_bits",
+                                             "out_dtype"))
 def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
                              block_size: int = 32, mbits: int = 8,
                              scale_bits: int = 8, approx: bool = True,
+                             pred_mode: str = "ex_pred",
                              key_bits: int = 32, out_dtype=jnp.float32):
     """(B, N, 3*H*D) fused-qkv activations -> (B, N, H*D) attention output.
 
@@ -325,7 +372,8 @@ def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
     kern = functools.partial(
         _qkv_attn_kernel, num_heads=H, head_dim=D, block_size=block_size,
         mbits=mbits, scale_bits=scale_bits, k=k, scale=scale, s_valid=N,
-        approx=approx, key_bits=key_bits, out_dtype=out_dtype)
+        approx=approx, pred_mode=pred_mode, key_bits=key_bits,
+        out_dtype=out_dtype)
     out = pl.pallas_call(
         kern,
         grid=(B,),
@@ -352,10 +400,12 @@ def _use_interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("k", "scale", "block_size",
                                              "mbits", "scale_bits", "approx",
-                                             "key_bits", "out_dtype"))
+                                             "pred_mode", "key_bits",
+                                             "out_dtype"))
 def fused_topk_attention(q, k_, v, bias=None, *, k: int, scale: float,
                          block_size: int = 32, mbits: int = 8,
                          scale_bits: int = 8, approx: bool = True,
+                         pred_mode: str = "ex_pred",
                          key_bits: int = 32, out_dtype=jnp.float32):
     """(B, H, N, D) q x (B, H, S, D) k/v -> (B, H, N, D) in ``out_dtype``.
 
@@ -407,8 +457,8 @@ def fused_topk_attention(q, k_, v, bias=None, *, k: int, scale: float,
         kern = functools.partial(
             _topk_attn_kernel, block_size=block_size, mbits=mbits,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
-            approx=approx, key_bits=key_bits, cells=cells,
-            out_dtype=out_dtype, has_bias=brow is not None)
+            approx=approx, pred_mode=pred_mode, key_bits=key_bits,
+            cells=cells, out_dtype=out_dtype, has_bias=brow is not None)
         out = pl.pallas_call(
             kern,
             grid=(G // cells,),
@@ -445,8 +495,8 @@ def fused_topk_attention(q, k_, v, bias=None, *, k: int, scale: float,
         kern = functools.partial(
             _topk_attn_kernel_tiled, block_size=block_size, mbits=mbits,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
-            approx=approx, key_bits=key_bits, out_dtype=out_dtype,
-            has_bias=brow is not None)
+            approx=approx, pred_mode=pred_mode, key_bits=key_bits,
+            out_dtype=out_dtype, has_bias=brow is not None)
         out = pl.pallas_call(
             kern,
             grid=(G, Np // QT),

@@ -25,10 +25,11 @@ def rand(*shape, seed=0):
     return jnp.asarray(rng.randn(*shape).astype(np.float32))
 
 
-def _xla_reference(q, k, v, kk, scale, approx=True):
+def _xla_reference(q, k, v, kk, scale, approx=True, pred_mode="ex_pred"):
     true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=FUSED,
                          mode_config="aa") * scale
-    sel = predict_scores(q, k, FUSED, "ex_pred") if approx else true_scores
+    sel = (predict_scores(q, k, FUSED, pred_mode) if approx
+           else true_scores)
     attn = _sparse_softmax_threshold(true_scores, sel, kk)
     return matmul(attn, v, mx_specs=FUSED, mode_config="aa")
 
@@ -61,6 +62,42 @@ def test_fused_kernel_via_topk_attention_dispatch():
     ref = _xla_reference(q, k, v, 8, 0.125, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape,kk", [
+    ((1, 2, 128, 64), 16),
+    ((1, 2, 100, 72), 20),     # DiT-like head dim, padded N
+])
+def test_fused_kernel_two_step_predictor(shape, kk):
+    """EXION two_step_leading_ones inside the kernel == the XLA fused path
+    (the reference's DeiT-base / PixArt-alpha operating-point predictor)."""
+    q = rand(*shape, seed=11)
+    k = rand(*shape, seed=12)
+    v = rand(*shape, seed=13)
+    scale = shape[-1] ** -0.5
+    out_k = fused_topk_attention(q, k, v, k=kk, scale=scale,
+                                 pred_mode="two_step_leading_ones")
+    out_x = _xla_reference(q, k, v, kk, scale,
+                           pred_mode="two_step_leading_ones")
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_kernel_two_step_long_sequence():
+    """two_step through the query-tiled kernel (N > 512)."""
+    from mx_quantization_tpu.attention import topk_attention, _xla_topk_dense
+    rng = np.random.RandomState(7)
+    B, H, N, D = 1, 1, 576, 64
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=40,
+                              approx_flag=True,
+                              pred_mode="two_step_leading_ones")
+    out_f, _ = topk_attention(q, k, v, D ** -0.5, FUSED, cfg)
+    ref = _xla_topk_dense(q, k, v, D ** -0.5, FUSED, cfg)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_key_bits_16_selection_close_to_exact():

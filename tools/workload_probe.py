@@ -55,12 +55,13 @@ def timed_steps(step, args0, feed, n0=1, n1=6, reps=2):
     return (run(n1) - run(n0)) / (n1 - n0)
 
 
-def deit_probe(model="deit_small_patch16_224", k=60, B=100):
+def deit_probe(model="deit_small_patch16_224", k=60, B=100,
+               pred_mode="ex_pred"):
     cfg = VIT_CONFIGS[model]
     params = init_vit(jax.random.key(0), cfg)
     q_params, specs = prequantize_weights(params, SPECS)
     qcfg = VitQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=k,
-                          approx_flag=True, pred_mode="ex_pred")
+                          approx_flag=True, pred_mode=pred_mode)
     x = jax.random.normal(jax.random.key(1), (B, 3, 224, 224))
 
     @jax.jit
@@ -70,8 +71,8 @@ def deit_probe(model="deit_small_patch16_224", k=60, B=100):
         return x * 0.999 + logits.mean() * 1e-6
 
     t = timed_steps(step, (q_params, x), feed=1)
-    print(f"DeiT {model} (k={k}, B={B}): {t*1e3:.1f} ms/batch -> "
-          f"{B/t:.1f} imgs/sec", flush=True)
+    print(f"DeiT {model} (k={k}, {pred_mode}, B={B}): {t*1e3:.1f} ms/batch"
+          f" -> {B/t:.1f} imgs/sec", flush=True)
 
 
 def pixart_probe(B=8, steps=20):
@@ -83,14 +84,14 @@ def pixart_probe(B=8, steps=20):
                              cross_top_k=True, cross_k=60,
                              pred_mode="two_step_leading_ones",
                              exclude_blocks=(27,))
-    # reference alpha protocol: two_step predictor is not kernel-eligible;
-    # probe both it and ex_pred (the kernel path)
     x = 0.1 * jax.random.normal(jax.random.key(1), (2 * B, 4, 32, 32))
     enc = jax.random.normal(jax.random.key(2), (2 * B, 120, cfg.caption_channels)) * 0.02
     t_ = jnp.full((2 * B,), 500.0)
     mask = jnp.ones((2 * B, 120))
 
-    for pred_mode in ("ex_pred",):
+    # two_step_leading_ones is the reference alpha operating point
+    # (run_pixart_alpha.sh:31-42); both modes are kernel-eligible
+    for pred_mode in ("two_step_leading_ones", "ex_pred"):
         qc = PixArtQuantConfig(mx_specs=specs, mx_quant=True,
                                self_top_k=True, self_k=77,
                                cross_top_k=True, cross_k=60,
@@ -112,6 +113,9 @@ def pixart_probe(B=8, steps=20):
 
 if __name__ == "__main__":
     deit_probe()
+    # reference run_deit.sh:41-52 base operating point (EXION predictor)
+    deit_probe(model="deit_base_patch16_224", k=30,
+               pred_mode="two_step_leading_ones")
     pixart_probe()
 
 
