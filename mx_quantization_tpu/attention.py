@@ -61,8 +61,10 @@ class TopKAttentionConfig(NamedTuple):
     out_dtype: str = "float32"
 
 
-# predictor modes the fused Pallas kernel implements in-VMEM
-_KERNEL_PRED_MODES = ("ex_pred", "two_step_leading_ones")
+# predictor modes the fused Pallas kernel implements in-VMEM (all the
+# exponent-family predictors; ELSA routes through the XLA path)
+_KERNEL_PRED_MODES = ("ex_pred", "two_step_leading_ones", "MXINT4",
+                      "partial_Q", "partial_K", "true_ex", "threshold_ex")
 
 
 def predict_scores(q, k, mx_specs: MxSpecs, pred_mode: str,

@@ -11,8 +11,13 @@ Numerics contract (same as attention.topk_attention with sparse_impl="dense"
 on the fused path):
   * q/k MX-quantized per 32-block along the head dim, scores via bf16 MXU
     dot with f32 accumulation (MXINT8 grid points are bf16-exact)
-  * ex_pred predictor: sign * 2^(block shared exponent), from the quantized
-    values (funcs/exponent_based_prediction.py:135-161 semantics)
+  * predictors, all in-VMEM from the quantized values: ex_pred
+    (sign * 2^shared_exp, funcs/exponent_based_prediction.py:135-161),
+    EXION two_step_leading_ones (:96-177), Sanger MXINT4 (:179-272),
+    partial_Q/partial_K (:274-318), true_ex, threshold_ex (:320-340).
+    All verified bit-identical to the XLA path on-chip except
+    threshold_ex, whose padded-head-dim dot can flip a near-tie
+    (f32 accumulation-order difference, same class as key_bits=16)
   * selection: k-th largest of predictor scores via bit-space binary search
     (exact); ties ranked lowest-index-first like jax.lax.top_k, with the
     rank computed as a triangular-matrix matmul (MXU) instead of a cumsum
@@ -113,6 +118,40 @@ def _two_step_approx(qvals, exps, block_size):
     return (s * e_full.astype(jnp.float32) * mag).astype(jnp.bfloat16)
 
 
+def _true_ex_approx(qvals):
+    """true_ex: per-element leading-one — sign * 2^floor(log2|q|), with
+    zeros mapped to +1.0 exactly like the library (sign(0) -> +1 and
+    _true_exponents(0) -> 0; predictors/exponent.py
+    exponent_based_sign_leading_ones)."""
+    v = qvals.astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(jnp.abs(v), jnp.int32)
+    te = jnp.where(v == 0.0, jnp.zeros_like(b), (b >> 23) - 127)
+    pw = jax.lax.bitcast_convert_type(
+        ((jnp.clip(te, -126, 127) + 127) << 23).astype(jnp.int32),
+        jnp.float32)
+    return jnp.where(v < 0.0, -pw, pw).astype(jnp.bfloat16)
+
+
+def _threshold_ex_approx(qvals, exps, block_size):
+    """threshold_ex: sign * 2^max(true_exp, shared_exp - 1)
+    (predictors/exponent.py exponent_based_threshold_exponent)."""
+    K, N = qvals.shape
+    nb = K // block_size
+    e_full = jnp.broadcast_to(exps[:, None, :],
+                              (nb, block_size, N)).reshape(K, N)
+    v = qvals.astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(jnp.abs(v), jnp.int32)
+    te = jnp.where(v == 0.0, jnp.zeros_like(b), (b >> 23) - 127)
+    th = jnp.maximum(te, e_full - 1)
+    pw = jax.lax.bitcast_convert_type(
+        ((jnp.clip(th, -126, 127) + 127) << 23).astype(jnp.int32),
+        jnp.float32)
+    one = jnp.ones_like(v)
+    sgn = jnp.where(v < 0.0, -one, one)
+    sgn = jnp.where(v == 0.0, jnp.zeros_like(v), sgn)
+    return (sgn * pw).astype(jnp.bfloat16)
+
+
 def _kth_keys(keys, k, n_iters=32, lo_init=_IMIN, hi_init=2147483647):
     """Per-row k-th largest int32 key (rows = axis 0) via binary search."""
     R = keys.shape[0]
@@ -161,7 +200,7 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
 
 
 def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
-               pred_mode="ex_pred"):
+               pred_mode="ex_pred", side="q"):
     """(n, D) tile -> transposed quantized operand (Dp, n) bf16 and, when
     ``approx``, the exp-sign predictor operand (Dp, n) bf16.
 
@@ -180,7 +219,22 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
     if pred_mode == "two_step_leading_ones":
         # sign(0) = 0, so padded head-dim rows contribute 0 — no mask
         return vals, _two_step_approx(vals, exps, block_size)
-    a = _exp_sign_approx(vals, exps, block_size)
+    if pred_mode == "MXINT4":
+        # Sanger: requantize the ORIGINAL side to MXINT4 (the library
+        # quantizes self.Q/self.K, not the int8 values); zeros stay zero
+        v4, _ = _quant_axis0(xt, block_size, 4, scale_bits)
+        return vals, v4
+    if ((pred_mode == "partial_K" and side == "k")
+            or (pred_mode == "partial_Q" and side == "q")):
+        # the full-mantissa side of the partial modes: the MXINT8 values
+        return vals, vals
+    if pred_mode == "threshold_ex":
+        return vals, _threshold_ex_approx(vals, exps, block_size)
+    if pred_mode == "true_ex":
+        a = _true_ex_approx(vals)  # +1.0 at zeros -> mask padded rows
+    else:
+        # ex_pred, and the exp-sign side of partial_Q/partial_K
+        a = _exp_sign_approx(vals, exps, block_size)
     if d_valid < Dp:
         # padded head-dim rows would contribute sign(0)*2^e; the reference
         # slices the block padding away (mx_ops.py:164-174) — mask them.
@@ -197,9 +251,9 @@ def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
               scale_bits, k, scale, s_valid, d_valid, approx, pred_mode,
               key_bits, out_dtype):
     qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx,
-                        pred_mode)
+                        pred_mode, side="q")
     kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, d_valid, approx,
-                        pred_mode)
+                        pred_mode, side="k")
     v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
                           scale_bits)
     o_ref[c] = _score_select_output(
@@ -300,7 +354,7 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
     @pl.when(pl.program_id(1) == 0)
     def _():
         kv, ak = _prep_side(k_ref[0], block_size, mbits, scale_bits,
-                            d_valid, approx, pred_mode)
+                            d_valid, approx, pred_mode, side="k")
         kv_s[:] = kv
         if approx:
             ak_s[:] = ak
@@ -309,7 +363,7 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
         vq_s[:] = vq
 
     qv, aq = _prep_side(q_ref[0], block_size, mbits, scale_bits, d_valid,
-                        approx, pred_mode)
+                        approx, pred_mode, side="q")
     bias_row = None if b_ref is None else b_ref[0]
     o_ref[0] = _score_select_output(
         qv, aq, kv_s[:], ak_s[:] if approx else None, vq_s[:], bias_row,
@@ -333,9 +387,9 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
         k_nd = x[:, (H + h) * D:(H + h + 1) * D]
         v_nd = x[:, (2 * H + h) * D:(2 * H + h + 1) * D]
         qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, D, approx,
-                            pred_mode)
+                            pred_mode, side="q")
         kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, D, approx,
-                            pred_mode)
+                            pred_mode, side="k")
         v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
                               scale_bits)
         outs.append(_score_select_output(

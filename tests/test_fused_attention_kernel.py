@@ -64,21 +64,26 @@ def test_fused_kernel_via_topk_attention_dispatch():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("pred_mode", [
+    "two_step_leading_ones",   # EXION (DeiT-base / PixArt-alpha op point)
+    "MXINT4",                  # Sanger
+    "partial_Q", "partial_K",  # mixed exp-sign / full-mantissa
+    "true_ex", "threshold_ex",
+])
 @pytest.mark.parametrize("shape,kk", [
     ((1, 2, 128, 64), 16),
     ((1, 2, 100, 72), 20),     # DiT-like head dim, padded N
 ])
-def test_fused_kernel_two_step_predictor(shape, kk):
-    """EXION two_step_leading_ones inside the kernel == the XLA fused path
-    (the reference's DeiT-base / PixArt-alpha operating-point predictor)."""
+def test_fused_kernel_predictor_modes(shape, kk, pred_mode):
+    """Every exponent-family predictor inside the kernel == the XLA fused
+    path."""
     q = rand(*shape, seed=11)
     k = rand(*shape, seed=12)
     v = rand(*shape, seed=13)
     scale = shape[-1] ** -0.5
     out_k = fused_topk_attention(q, k, v, k=kk, scale=scale,
-                                 pred_mode="two_step_leading_ones")
-    out_x = _xla_reference(q, k, v, kk, scale,
-                           pred_mode="two_step_leading_ones")
+                                 pred_mode=pred_mode)
+    out_x = _xla_reference(q, k, v, kk, scale, pred_mode=pred_mode)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
 
