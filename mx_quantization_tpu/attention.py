@@ -119,7 +119,8 @@ def _sparse_softmax_threshold(true_scores, pred_scores, k: int):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _xla_topk_dense(q, k, v, scale, mx_specs, cfg, bias=None):
+def _xla_topk_dense(q, k, v, scale, mx_specs, cfg, bias=None,
+                    orthogonal_matrix=None):
     """The XLA fused-path equivalent of the Pallas kernel (dense
     sparse_impl) — used as the kernel's differentiation surrogate."""
     true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=mx_specs,
@@ -127,7 +128,8 @@ def _xla_topk_dense(q, k, v, scale, mx_specs, cfg, bias=None):
     if bias is not None:
         true_scores = true_scores + bias
     if cfg.approx_flag:
-        selector = predict_scores(q, k, mx_specs, cfg.pred_mode)
+        selector = predict_scores(q, k, mx_specs, cfg.pred_mode,
+                                  orthogonal_matrix)
         if bias is not None:
             selector = selector + bias
     else:
@@ -136,31 +138,33 @@ def _xla_topk_dense(q, k, v, scale, mx_specs, cfg, bias=None):
     return matmul(attn, v, mx_specs=mx_specs, mode_config="aa")
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused_topk_attention_ad(q, k, v, bias, scale, mx_specs, cfg):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_topk_attention_ad(q, k, v, bias, om, scale, mx_specs, cfg):
     """Pallas fused forward with a rematerializing backward: the kernel has
     no VJP, so gradients flow through the numerics-equivalent XLA path
-    (same quantized-op custom_vjps as the emulation engine)."""
+    (same quantized-op custom_vjps as the emulation engine).  ``om`` is the
+    ELSA projection matrix (None for the exponent predictors)."""
     from .ops.kernels.topk_attention import fused_topk_attention
     return fused_topk_attention(
-        q, k, v, bias, k=cfg.k, scale=scale, block_size=mx_specs.block_size,
+        q, k, v, bias, om, k=cfg.k, scale=scale,
+        block_size=mx_specs.block_size,
         scale_bits=mx_specs.effective_scale_bits(),
         approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
         key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype))
 
 
-def _fused_ad_fwd(q, k, v, bias, scale, mx_specs, cfg):
-    out = _fused_topk_attention_ad(q, k, v, bias, scale, mx_specs, cfg)
-    return out, (q, k, v, bias)
+def _fused_ad_fwd(q, k, v, bias, om, scale, mx_specs, cfg):
+    out = _fused_topk_attention_ad(q, k, v, bias, om, scale, mx_specs, cfg)
+    return out, (q, k, v, bias, om)
 
 
 def _fused_ad_bwd(scale, mx_specs, cfg, res, g):
-    q, k, v, bias = res
+    q, k, v, bias, om = res
     _, vjp = jax.vjp(
         lambda q, k, v, bias: _xla_topk_dense(q, k, v, scale, mx_specs, cfg,
-                                              bias),
+                                              bias, om),
         q, k, v, bias)
-    return vjp(g)
+    return vjp(g) + (None if om is None else jnp.zeros_like(om),)
 
 
 _fused_topk_attention_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
@@ -269,15 +273,28 @@ def topk_attention(
                (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
                 and bias.shape[0] == q.shape[0]
                 and bias.shape[3] == k.shape[-2]))
+    # ELSA runs in-kernel on the short-sequence path (the hash-bit scratch
+    # layout is not query-tileable); the projection matrix becomes a kernel
+    # operand
+    elsa_kernel_ok = (cfg.pred_mode == "ELSA"
+                      and q.shape[-2] <= 512 and k.shape[-2] <= 512)
     if (fused and cfg.sparse_impl == "dense" and bias_ok
             and kernel_fits
             and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
             and (cfg.pred_mode in _KERNEL_PRED_MODES
+                 or elsa_kernel_ok
                  or not cfg.approx_flag)):
+        om = None
+        if cfg.approx_flag and cfg.pred_mode == "ELSA":
+            from .predictors.elsa import create_structured_orthogonal_matrix
+            om = (orthogonal_matrix if orthogonal_matrix is not None else
+                  jnp.asarray(create_structured_orthogonal_matrix(
+                      q.shape[-1])))
         # single fused Pallas kernel: quantize + scores + predictor +
         # selection + masked softmax + PV, all in VMEM; differentiable via
         # the XLA-path surrogate VJP
-        out = _fused_topk_attention_ad(q, k, v, bias, scale, mx_specs, cfg)
+        out = _fused_topk_attention_ad(q, k, v, bias, om, scale, mx_specs,
+                                       cfg)
         return out, None
 
     if cfg.sparse_impl == "dense":

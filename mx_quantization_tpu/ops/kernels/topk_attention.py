@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _IMIN = -2147483648  # python int: pallas kernels must not capture traced consts
+_ELSA_THETA = 0.127  # ELSA angle bias (predictors/elsa.py THETA_BIAS)
 
 
 def _quant_axis0(x, block_size, mbits, scale_bits):
@@ -185,22 +186,27 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
     swapaxes/pad/astype materializes, and batching cells amortizes the
     per-grid-step pipeline overhead.
     """
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    i = 3
+    b_ref = p_ref = None
     if has_bias:
-        q_ref, k_ref, v_ref, b_ref, o_ref = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref = refs
-        b_ref = None
+        b_ref = refs[i]; i += 1
+    if pred_mode == "ELSA":
+        p_ref = refs[i]; i += 1
+    o_ref = refs[i]
     for c in range(cells):
         _one_cell(q_ref[c], k_ref[c], v_ref[c],
                   None if b_ref is None else b_ref[c], o_ref, c,
                   block_size=block_size, mbits=mbits, scale_bits=scale_bits,
                   k=k, scale=scale, s_valid=s_valid, d_valid=d_valid,
                   approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-                  out_dtype=out_dtype)
+                  out_dtype=out_dtype,
+                  proj_mat=None if p_ref is None else p_ref[:])
 
 
 def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
-               pred_mode="ex_pred", side="q"):
+               pred_mode="ex_pred", side="q", proj=None):
     """(n, D) tile -> transposed quantized operand (Dp, n) bf16 and, when
     ``approx``, the exp-sign predictor operand (Dp, n) bf16.
 
@@ -216,6 +222,18 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
     vals, exps = _quant_axis0(xt, block_size, mbits, scale_bits)
     if not approx:
         return vals, None
+    if pred_mode == "ELSA":
+        # sign-of-projection hash bits as +-1 (predictors/elsa.py
+        # compute_hashes), from the quantized values; proj is (bits, Dp)
+        # HIGHEST precision: the hash is sign(projection) — single-pass
+        # bf16 flips bits wherever |proj| is within bf16 rounding of zero
+        # (~1% of bits), which cascades into visibly different top-k sets
+        pr = jax.lax.dot_general(proj, vals.astype(jnp.float32),
+                                 (((1,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+        one = jnp.ones_like(pr)
+        return vals, jnp.where(pr >= 0.0, one, -one).astype(jnp.bfloat16)
     if pred_mode == "two_step_leading_ones":
         # sign(0) = 0, so padded head-dim rows contribute 0 — no mask
         return vals, _two_step_approx(vals, exps, block_size)
@@ -249,22 +267,23 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
 
 def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
               scale_bits, k, scale, s_valid, d_valid, approx, pred_mode,
-              key_bits, out_dtype):
+              key_bits, out_dtype, proj_mat=None):
     qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx,
-                        pred_mode, side="q")
+                        pred_mode, side="q", proj=proj_mat)
     kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, d_valid, approx,
-                        pred_mode, side="k")
+                        pred_mode, side="k", proj=proj_mat)
     v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
                           scale_bits)
     o_ref[c] = _score_select_output(
         qv, aq, kv, ak, v_q, bias_row, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
-        approx=approx, key_bits=key_bits).astype(out_dtype)
+        approx=approx, pred_mode=pred_mode,
+        key_bits=key_bits).astype(out_dtype)
 
 
 def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
                          mbits, scale_bits, k, scale, s_valid, approx,
-                         key_bits):
+                         key_bits, pred_mode="ex_pred"):
     """Quantized operands (Dp, N)/(Dp, S) + v_q (S, D) -> attention (N, D)
     f32: true/pred scores, exact top-k selection, masked softmax, PV."""
     N = qv.shape[1]
@@ -282,6 +301,15 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
     if approx:
         s_sel = jax.lax.dot_general(aq, ak, dn,
                                     preferred_element_type=jnp.float32)
+        if pred_mode == "ELSA":
+            # aq/ak are +-1 hash bits; score = ||k|| * cos(pi/bits *
+            # hamming - theta) (predictors/elsa.py approximation_scores)
+            bits = float(aq.shape[0])
+            ham = 0.5 * (bits - s_sel)
+            ang = jnp.maximum((jnp.pi / bits) * ham - _ELSA_THETA, 0.0)
+            knorm = jnp.sqrt(jnp.sum(kv.astype(jnp.float32) ** 2, axis=0,
+                                     keepdims=True))
+            s_sel = knorm * jnp.cos(ang)
         if bias_row is not None:
             s_sel = s_sel + bias_row.astype(jnp.float32)
     else:
@@ -368,7 +396,7 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
     o_ref[0] = _score_select_output(
         qv, aq, kv_s[:], ak_s[:] if approx else None, vq_s[:], bias_row,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
-        scale=scale, s_valid=s_valid, approx=approx,
+        scale=scale, s_valid=s_valid, approx=approx, pred_mode=pred_mode,
         key_bits=key_bits).astype(out_dtype)
 
 
@@ -395,7 +423,8 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
         outs.append(_score_select_output(
             qv, aq, kv, ak, v_q, None, block_size=block_size, mbits=mbits,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
-            approx=approx, key_bits=key_bits).astype(out_dtype))
+            approx=approx, pred_mode=pred_mode,
+            key_bits=key_bits).astype(out_dtype))
     o_ref[0] = jnp.concatenate(outs, axis=1)
 
 
@@ -456,14 +485,17 @@ def _use_interpret() -> bool:
                                              "mbits", "scale_bits", "approx",
                                              "pred_mode", "key_bits",
                                              "out_dtype"))
-def fused_topk_attention(q, k_, v, bias=None, *, k: int, scale: float,
+def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
+                         scale: float,
                          block_size: int = 32, mbits: int = 8,
                          scale_bits: int = 8, approx: bool = True,
                          pred_mode: str = "ex_pred",
                          key_bits: int = 32, out_dtype=jnp.float32):
     """(B, H, N, D) q x (B, H, S, D) k/v -> (B, H, N, D) in ``out_dtype``.
 
-    approx=True selects by the ex_pred predictor; False by the true scores.
+    approx=True selects by the predictor given by pred_mode; False by the
+    true scores.  pred_mode="ELSA" additionally needs ``proj``, the
+    (bits, D) orthogonal projection matrix (short-sequence path only).
     bias: optional additive key-mask bias of shape (B, 1, 1, S), added to
     both true and predicted scores (the PixArt cross-attention contract).
     N/S are padded to the sequence tile (zero pads quantize to zero and
@@ -492,6 +524,12 @@ def fused_topk_attention(q, k_, v, bias=None, *, k: int, scale: float,
         brow = jnp.pad(brow.reshape(G, 1, S).astype(jnp.float32),
                        ((0, 0), (0, 0), (0, Sp - S)))
 
+    elsa = approx and pred_mode == "ELSA"
+    if elsa and proj is None:
+        raise ValueError("pred_mode='ELSA' needs the projection matrix")
+    if elsa and not (Np <= 512 and Sp <= 512):
+        raise NotImplementedError(
+            "ELSA is kernel-eligible on the short-sequence path only")
     if Np <= 512 and Sp <= 512:
         cells = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
         operands = [qp, kp, vp]
@@ -507,6 +545,14 @@ def fused_topk_attention(q, k_, v, bias=None, *, k: int, scale: float,
             operands.append(brow)
             in_specs.append(pl.BlockSpec((cells, 1, Sp),
                                          lambda g: (g, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        if elsa:
+            bits = proj.shape[0]
+            Dp = _round_up(max(D, 8), block_size)
+            pmat = jnp.pad(proj.astype(jnp.float32),
+                           ((0, 0), (0, Dp - proj.shape[1])))
+            operands.append(pmat)
+            in_specs.append(pl.BlockSpec((bits, Dp), lambda g: (0, 0),
                                          memory_space=pltpu.VMEM))
         kern = functools.partial(
             _topk_attn_kernel, block_size=block_size, mbits=mbits,

@@ -203,7 +203,7 @@ def test_fused_qkv_entry_matches_split_entry():
 
     parts = qkv.reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
     out_split = _fused_topk_attention_ad(parts[0], parts[1], parts[2],
-                                         None, D ** -0.5, FUSED, cfg)
+                                         None, None, D ** -0.5, FUSED, cfg)
     out_split = out_split.transpose(0, 2, 1, 3).reshape(B, N, H * D)
     np.testing.assert_array_equal(np.asarray(out_qkv),
                                   np.asarray(out_split))
@@ -211,3 +211,28 @@ def test_fused_qkv_entry_matches_split_entry():
     g1 = jax.grad(lambda q: jnp.sum(
         fused_qkv_topk_attention(q, H, D ** -0.5, FUSED, cfg) ** 2))(qkv)
     assert g1.shape == qkv.shape and bool(jnp.isfinite(g1).all())
+
+
+def test_fused_kernel_elsa_predictor():
+    """ELSA (sign-projection hashing) inside the kernel == the XLA path:
+    same hash bits, hamming-angle scores, key-norm weighting."""
+    from mx_quantization_tpu.attention import topk_attention, _xla_topk_dense
+    from mx_quantization_tpu.predictors.elsa import (
+        create_structured_orthogonal_matrix)
+    rng = np.random.RandomState(17)
+    B, H, N, D = 1, 2, 128, 72
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    om = jnp.asarray(create_structured_orthogonal_matrix(D))
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=30,
+                              approx_flag=True, pred_mode="ELSA")
+    out_f, _ = topk_attention(q, k, v, D ** -0.5, FUSED, cfg,
+                              orthogonal_matrix=om)
+    ref = _xla_topk_dense(q, k, v, D ** -0.5, FUSED, cfg,
+                          orthogonal_matrix=om)
+    a, b = np.asarray(out_f), np.asarray(ref)
+    # hash-bit signs at near-zero projections may flip between the two
+    # matmul accumulation orders; require bulk agreement
+    frac = np.mean(np.isclose(a, b, rtol=1e-4, atol=1e-5))
+    assert frac > 0.97, frac
