@@ -61,8 +61,9 @@ class DiffusionServer:
 
     def __init__(self, model_fn: Callable, latent_shape, num_steps: int,
                  slots: int = 8, null_condition: int = 1000,
-                 cfg_scale: float = 4.0, seed: int = 0):
+                 cfg_scale: float = 4.0, seed: int = 0, mesh=None):
         self.model_fn = model_fn
+        self.mesh = mesh
         self.latent_shape = tuple(latent_shape)  # (C, H, W)
         self.slots = slots
         self.null_condition = null_condition
@@ -84,7 +85,24 @@ class DiffusionServer:
         self._req: List[Optional[Request]] = [None] * slots
         self._t0 = np.zeros((slots,), np.float64)
 
-        self._step_jit = jax.jit(self._engine_step)
+        if mesh is None:
+            self._step_jit = jax.jit(self._engine_step)
+        else:
+            # pod-slice serving: slots shard over the mesh "data" axis (DP);
+            # weights arrive TP/FSDP-sharded inside model_fn (the caller
+            # shards params with parallel.mesh helpers), so every engine
+            # step runs SPMD with XLA-inserted ICI collectives
+            from jax.sharding import NamedSharding, PartitionSpec
+            ndata = mesh.shape["data"]
+            if slots % ndata:
+                raise ValueError(f"slots={slots} must divide over the "
+                                 f"data axis ({ndata} devices)")
+            s1 = NamedSharding(mesh, PartitionSpec("data"))
+            s4 = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+            rep = NamedSharding(mesh, PartitionSpec())
+            self._step_jit = jax.jit(
+                self._engine_step,
+                in_shardings=(s4, s1, s1, s1, rep), out_shardings=s4)
 
     # ------------------------------------------------------------------
     def _engine_step(self, lat, step_idx, cond, active, key):

@@ -46,3 +46,30 @@ def test_server_staggered_arrivals():
     assert sorted(results) == [0, 1]
     # request 1 joined while 0 was in flight (continuous batching)
     assert results[0].steps == results[1].steps == 3
+
+
+def test_server_mesh_sharded():
+    """Pod-slice serving: slots DP-sharded over the mesh data axis, weights
+    TP-sharded over the model axis (the BASELINE north-star's multi-host
+    continuous-batching configuration, on the virtual 8-device mesh)."""
+    from mx_quantization_tpu.parallel.mesh import (MeshPlan, make_mesh,
+                                                   shard_dit_params_tp)
+    mesh = make_mesh(MeshPlan(data=4, model=2))
+    params = shard_dit_params_tp(mesh, init_dit(jax.random.key(0), TINY))
+
+    def model_fn(x, t, y):
+        return dit_forward(params, x, t, y, TINY, DiTQuantConfig())
+
+    srv = DiffusionServer(model_fn, (4, 8, 8), num_steps=3, slots=4,
+                          null_condition=10, mesh=mesh)
+    for i in range(6):
+        srv.submit(Request(request_id=i, condition=i % 10))
+    results = srv.run_until_drained()
+    assert sorted(results) == list(range(6))
+    for r in results.values():
+        assert np.isfinite(r.latent).all()
+
+    import pytest
+    with pytest.raises(ValueError):
+        DiffusionServer(model_fn, (4, 8, 8), num_steps=3, slots=3,
+                        null_condition=10, mesh=mesh)
