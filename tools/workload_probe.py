@@ -73,6 +73,7 @@ def deit_probe(model="deit_small_patch16_224", k=60, B=100,
     t = timed_steps(step, (q_params, x), feed=1)
     print(f"DeiT {model} (k={k}, {pred_mode}, B={B}): {t*1e3:.1f} ms/batch"
           f" -> {B/t:.1f} imgs/sec", flush=True)
+    return B / t
 
 
 def pixart_probe(B=8, steps=20):
