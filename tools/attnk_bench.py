@@ -72,8 +72,8 @@ def _cell(q_nd, k_nd, v_nd, o_ref, c, mode):
     if "nosel" in mode:
         sel = s_sel > neg  # all true
     else:
-        keys = jax.lax.shift_right_arithmetic(_mono_keys(s_sel), 16)
-        kth = _kth_keys(keys, K, n_iters=17, lo_init=-32769, hi_init=32768)
+        keys = jax.lax.shift_right_arithmetic(_mono_keys(s_sel), 24)
+        kth = _kth_keys(keys, K, n_iters=9, lo_init=-129, hi_init=128)
         gt = keys > kth
         eq = keys == kth
         n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
