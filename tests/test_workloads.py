@@ -141,3 +141,60 @@ def test_dit_anal_mode(tmp_path):
     assert len(recs) == 2
     assert {r["timestep_idx"] for r in recs} == {0, 1}
     assert all(r["block"] == 0 for r in recs)
+
+
+def test_inject_full_surface():
+    """The ambient-context wrapper surface mirrors the reference's
+    MODULE_MAPPING + FUNCTION_MAPPING union (mx_mapping.py:68-122)."""
+    import jax
+    import jax.numpy as jnp
+    from mx_quantization_tpu import finalize_mx_specs, inject
+    from mx_quantization_tpu.ops.batchnorm import init_batchnorm_state
+
+    specs = finalize_mx_specs(dict(w_elem_format="int8",
+                                   a_elem_format="int8", scale_bits=8,
+                                   block_size=32, bfloat=16,
+                                   quantize_backprop=False))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    img = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(8, 3, 3, 3).astype(np.float32))
+    g = jnp.ones((32,)); b = jnp.zeros((32,))
+
+    with inject.quantized(specs):
+        assert inject.relu(x).shape == x.shape
+        assert inject.relu6(x).shape == x.shape
+        assert inject.leaky_relu(x).shape == x.shape
+        assert inject.sigmoid(x).shape == x.shape
+        assert inject.silu(x).shape == x.shape
+        assert inject.tanh(x).shape == x.shape
+        assert inject.bmm(jnp.ones((2, 4, 8)), jnp.ones((2, 8, 4))
+                          ).shape == (2, 4, 4)
+        assert inject.addmm(jnp.zeros((4,)), x, jnp.ones((32, 4))
+                            ).shape == (4, 4)
+        assert inject.conv2d(img, w1, stride=1, padding=1
+                             ).shape == (2, 8, 16, 16)
+        assert inject.layer_norm(x, g, b).shape == x.shape
+        assert inject.rms_norm(x, g, b).shape == x.shape
+        assert inject.group_norm(img, jnp.ones((3,)), jnp.zeros((3,)),
+                                 num_groups=3).shape == img.shape
+        st = init_batchnorm_state(3)
+        out, _ = inject.batch_norm(img, st, jnp.ones((3,)), jnp.zeros((3,)))
+        assert out.shape == img.shape
+        assert inject.adaptive_avg_pool2d(img, (4, 4)).shape == (2, 3, 4, 4)
+        assert inject.add(x, x).shape == x.shape
+        assert inject.sub(x, x).shape == x.shape
+        assert inject.mul(x, x).shape == x.shape
+        assert inject.div(x, 1.0 + x * 0 + 1.0).shape == x.shape
+        assert inject.exp(x).shape == x.shape
+        assert inject.log(jnp.abs(x) + 1.0).shape == x.shape
+        assert inject.square(x).shape == x.shape
+        assert inject.sum(x, -1).shape == (4,)
+        assert inject.mean(x, -1).shape == (4,)
+        assert inject.norm(x).shape == ()
+        a1, a2 = inject.split(x)
+        assert a1.shape == x.shape and a2.shape == x.shape
+        assert inject.quantize(x).shape == x.shape
+    # outside the context, no-specs falls back to exact math
+    np.testing.assert_allclose(np.asarray(inject.relu(x)),
+                               np.asarray(jax.nn.relu(x)))
