@@ -73,3 +73,29 @@ def matmul_roofline(m: int, n: int, k: int, dtype_bytes: int = 2,
         "bound": "compute" if t_compute > t_memory else "memory",
         "sol_us": max(t_compute, t_memory) * 1e6,
     }
+
+
+def parse_trace(trace_dir: str, top: int = 0) -> Dict[str, float]:
+    """Sum device-event durations (us) by op name from a jax.profiler trace
+    directory — the no-TensorBoard analysis path used by tools/profile_step
+    (works through the remote-relay TPU where XPlane viewers are absent).
+
+    Returns {op_name: total_us}, descending; ``top`` truncates.
+    """
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    by_name: Dict[str, float] = defaultdict(float)
+    for f in glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True):
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") != "X":
+                continue
+            by_name[ev.get("name", "")] += ev.get("dur", 0)
+    items = sorted(by_name.items(), key=lambda kv: -kv[1])
+    if top:
+        items = items[:top]
+    return dict(items)

@@ -198,3 +198,24 @@ def test_inject_full_surface():
     # outside the context, no-specs falls back to exact math
     np.testing.assert_allclose(np.asarray(inject.relu(x)),
                                np.asarray(jax.nn.relu(x)))
+
+
+def test_parse_trace(tmp_path):
+    """parse_trace sums device-event durations from a profiler trace dir."""
+    import gzip
+    import json as _json
+    from mx_quantization_tpu.utils.profiling import parse_trace
+    d = tmp_path / "plugins" / "profile"
+    d.mkdir(parents=True)
+    events = {"traceEvents": [
+        {"ph": "X", "name": "fusion.1", "dur": 10},
+        {"ph": "X", "name": "fusion.1", "dur": 5},
+        {"ph": "X", "name": "matmul", "dur": 30},
+        {"ph": "M", "name": "meta", "dur": 99},
+    ]}
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        _json.dump(events, f)
+    out = parse_trace(str(tmp_path))
+    assert out == {"matmul": 30, "fusion.1": 15}
+    assert list(out) == ["matmul", "fusion.1"]  # descending
+    assert parse_trace(str(tmp_path), top=1) == {"matmul": 30}

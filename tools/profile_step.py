@@ -81,25 +81,10 @@ def main():
     _ = np.asarray(fetch(o))
     jax.profiler.stop_trace()
 
-    files = glob.glob(f"{args.trace_dir}/**/*.trace.json.gz", recursive=True)
-    by_name = defaultdict(float)
-    total = 0.0
-    for f in files:
-        with gzip.open(f, "rt") as fh:
-            data = json.load(fh)
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") != "X":
-                continue
-            # keep device-lane events only (TensorFlow Op events carry 'tid')
-            name = ev.get("name", "")
-            dur = ev.get("dur", 0)
-            cat = (ev.get("args") or {}).get("group_by", "")
-            pid = ev.get("pid")
-            by_name[name] += dur
-            total += dur
-    items = sorted(by_name.items(), key=lambda kv: -kv[1])
-    print(f"trace files: {len(files)}; top ops (us, over {args.steps} steps):")
-    for name, dur in items[:45]:
+    from mx_quantization_tpu.utils.profiling import parse_trace
+    items = parse_trace(args.trace_dir, top=45)
+    print(f"top ops (us, over {args.steps} steps):")
+    for name, dur in items.items():
         print(f"{dur/args.steps:12.0f}  {name[:110]}")
 
 

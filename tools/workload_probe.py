@@ -144,3 +144,33 @@ def dit512_probe(B=4):
     t = timed_steps(step, (q_params, x, t_, y), feed=1)
     print(f"DiT-XL/2 512 (k=154, B={B} CFG-doubled): {t*1e3:.1f} ms/step -> "
           f"{B/(t*100):.4f} imgs/sec @100 steps", flush=True)
+
+
+def pixart1024_probe(B=1, steps=20):
+    """PixArt-alpha at 1024px (sample 128 -> N=4096 latent tokens): the
+    query-tiled kernel at its S cap, plus micro-conditioning."""
+    cfg = PixArtConfig(sample_size=128)
+    params = init_pixart(jax.random.key(0), cfg)
+    q_params, specs = prequantize_weights(params, SPECS)
+    qc = PixArtQuantConfig(mx_specs=specs, mx_quant=True,
+                           self_top_k=True, self_k=77,
+                           cross_top_k=True, cross_k=60,
+                           pred_mode="two_step_leading_ones",
+                           exclude_blocks=(27,), topk_key_bits=8,
+                           activation_dtype="bfloat16")
+    x = 0.1 * jax.random.normal(jax.random.key(1), (2 * B, 4, 128, 128))
+    enc = jax.random.normal(jax.random.key(2),
+                            (2 * B, 120, cfg.caption_channels)) * 0.02
+    t_ = jnp.full((2 * B,), 500.0)
+    mask = jnp.ones((2 * B, 120))
+
+    @jax.jit
+    def step(p, x, enc, t_):
+        out = pixart_forward(p, x, enc, t_, cfg, qc,
+                             encoder_attention_mask=mask)
+        return x - 0.01 * out[:, :4]
+
+    t = timed_steps(step, (q_params, x, enc, t_), feed=1)
+    print(f"PixArt-a 1024 (two_step, B={B} CFG-doubled): "
+          f"{t*1e3:.1f} ms/step -> {B/(t*steps):.3f} imgs/sec "
+          f"@{steps} DPM steps", flush=True)
