@@ -242,15 +242,39 @@ def topk_attention(
         p = jax.nn.softmax(s, axis=-1)
         return jnp.matmul(p, v, precision=jax.lax.Precision.HIGHEST), None
 
+    if not cfg.top_k:
+        # dense (no-top-k) MX attention — the reference's excluded-block /
+        # excluded-timestep path.  When the fused kernel fits, run it with
+        # k = S (the kernel skips selection entirely and does a plain
+        # masked softmax): without this, an excluded block at long N
+        # materializes and MX-quantizes the full (B*H*N, S) probability
+        # matrix through XLA (a VMEM-OOM at PixArt-1024's N=4096).
+        S = int(k.shape[-2])
+        dense_bias_ok = (bias is None or
+                         (bias.ndim == 4 and bias.shape[1] == 1
+                          and bias.shape[2] == 1
+                          and bias.shape[0] == q.shape[0]
+                          and bias.shape[3] == S))
+        if (mx_specs.custom_tpu == "fused" and cfg.sparse_impl == "dense"
+                and dense_bias_ok and S <= 4096
+                and mx_specs.a_elem_format == "int8"
+                and mx_specs.bfloat == 0):
+            dcfg = cfg._replace(top_k=True, approx_flag=False, k=S)
+            out = _fused_topk_attention_ad(q, k, v, bias, None, scale,
+                                           mx_specs, dcfg)
+            return out, None
+        true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=mx_specs,
+                             mode_config="aa") * scale
+        if bias is not None:
+            true_scores = true_scores + bias
+        attn = jax.nn.softmax(true_scores, axis=-1)
+        out = matmul(attn, v, mx_specs=mx_specs, mode_config="aa")
+        return out, None
+
     true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=mx_specs,
                          mode_config="aa") * scale
     if bias is not None:
         true_scores = true_scores + bias
-
-    if not cfg.top_k:
-        attn = jax.nn.softmax(true_scores, axis=-1)
-        out = matmul(attn, v, mx_specs=mx_specs, mode_config="aa")
-        return out, None
 
     if cfg.approx_flag:
         pred = predict_scores(q, k, mx_specs, cfg.pred_mode,

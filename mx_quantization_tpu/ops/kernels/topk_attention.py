@@ -318,6 +318,19 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
         col = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
         s_sel = jnp.where(col >= s_valid, neg, s_sel)  # padded key columns
 
+    if k >= s_valid:
+        # dense attention (k covers every valid key): skip the search and
+        # tie-rank entirely — plain masked softmax over the valid columns
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
+        sel = col < s_valid
+        masked = jnp.where(sel, s_true, neg)
+        m = jnp.max(masked, axis=1, keepdims=True)
+        e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
+        attn = e / jnp.sum(e, axis=1, keepdims=True)
+        at_q, _ = _quant_axis0(attn.T, block_size, mbits, scale_bits)
+        return jax.lax.dot_general(at_q, v_q, dn,
+                                   preferred_element_type=jnp.float32)
+
     keys = _mono_keys(s_sel)
     if key_bits == 16:
         # bf16-precision ranking: keys collapse to their top 16 bits, the
