@@ -40,7 +40,9 @@ from .diffusion import GaussianDiffusion, create_diffusion
 @dataclasses.dataclass
 class Request:
     request_id: int
-    condition: int               # class label (DiT); extendable to embeds
+    condition: object            # class label (DiT) or a condition pytree
+    # (PixArt: {"embeds": (L, 4096), "mask": (L,)} — any structure matching
+    # the server's null_condition)
     cfg_scale: float = 4.0
     key: Optional[np.ndarray] = None
 
@@ -56,7 +58,13 @@ class Result:
 class DiffusionServer:
     """Continuous-batching sampler around a CFG denoise model.
 
-    model_fn(latents (S,C,H,W), t (S,), cond (S,)) -> (S, 2C, H, W)
+    model_fn(latents (S,C,H,W), t (S,), cond) -> (S, 2C, H, W)
+
+    ``cond`` is a pytree whose leaves are batched on axis 0 (slots):
+    an int label array for DiT, or e.g. {"embeds": (S, L, 4096),
+    "mask": (S, L)} for PixArt text conditioning.  ``null_condition``
+    supplies the per-request null (CFG) value with the same structure
+    (unbatched); requests carry conditions of that structure.
     """
 
     def __init__(self, model_fn: Callable, latent_shape, num_steps: int,
@@ -80,7 +88,10 @@ class DiffusionServer:
         C, H, W = self.latent_shape
         self._lat = np.zeros((slots, C, H, W), np.float32)
         self._step_idx = np.zeros((slots,), np.int32)   # next spaced step
-        self._cond = np.full((slots,), null_condition, np.int32)
+        self._null = jax.tree.map(np.asarray, null_condition)
+        self._cond = jax.tree.map(
+            lambda n: np.broadcast_to(n, (slots,) + np.shape(n)).copy(),
+            self._null)
         self._active = np.zeros((slots,), bool)
         self._req: List[Optional[Request]] = [None] * slots
         self._t0 = np.zeros((slots,), np.float64)
@@ -100,9 +111,13 @@ class DiffusionServer:
             s1 = NamedSharding(mesh, PartitionSpec("data"))
             s4 = NamedSharding(mesh, PartitionSpec("data", None, None, None))
             rep = NamedSharding(mesh, PartitionSpec())
+            cond_sh = jax.tree.map(
+                lambda n: NamedSharding(
+                    mesh, PartitionSpec("data", *([None] * np.ndim(n)))),
+                self._null)
             self._step_jit = jax.jit(
                 self._engine_step,
-                in_shardings=(s4, s1, s1, s1, rep), out_shardings=s4)
+                in_shardings=(s4, s1, cond_sh, s1, rep), out_shardings=s4)
 
     # ------------------------------------------------------------------
     def _engine_step(self, lat, step_idx, cond, active, key):
@@ -114,8 +129,10 @@ class DiffusionServer:
         # CFG doubling: cond batch then null batch
         lat2 = jnp.concatenate([lat, lat], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        cond2 = jnp.concatenate(
-            [cond, jnp.full_like(cond, self.null_condition)], axis=0)
+        cond2 = jax.tree.map(
+            lambda c, n: jnp.concatenate(
+                [c, jnp.broadcast_to(jnp.asarray(n), c.shape)], axis=0),
+            cond, self._null)
         out = self.model_fn(lat2, t2, cond2)
         eps_all, rest = out[:, :3], out[:, 3:]
         c_eps, u_eps = jnp.split(eps_all, 2, axis=0)
@@ -147,7 +164,9 @@ class DiffusionServer:
             self._lat[s] = np.asarray(
                 jax.random.normal(rk, (C, H, W)), np.float32)
             self._step_idx[s] = self.num_steps - 1
-            self._cond[s] = req.condition
+            def put(buf, val):
+                buf[s] = np.asarray(val)
+            jax.tree.map(put, self._cond, req.condition)
             self._active[s] = True
             self._req[s] = req
             self._t0[s] = time.time()
@@ -160,7 +179,7 @@ class DiffusionServer:
         self._key, sk = jax.random.split(self._key)
         new_lat = self._step_jit(jnp.asarray(self._lat),
                                  jnp.asarray(self._step_idx),
-                                 jnp.asarray(self._cond),
+                                 jax.tree.map(jnp.asarray, self._cond),
                                  jnp.asarray(self._active), sk)
         self._lat = np.array(new_lat)  # writable copy (asarray is read-only)
 

@@ -73,3 +73,41 @@ def test_server_mesh_sharded():
     with pytest.raises(ValueError):
         DiffusionServer(model_fn, (4, 8, 8), num_steps=3, slots=3,
                         null_condition=10, mesh=mesh)
+
+
+def test_server_pixart_text_conditioning():
+    """PixArt continuous batching (a BASELINE.json named config): pytree
+    conditions carry per-request T5 embeds + mask; CFG nulls use the
+    unconditional embedding."""
+    from mx_quantization_tpu.models import (PixArtConfig, PixArtQuantConfig,
+                                            init_pixart, pixart_forward)
+    cfg = PixArtConfig(num_attention_heads=2, attention_head_dim=32,
+                       num_layers=2, sample_size=8, patch_size=2,
+                       cross_attention_dim=64, caption_channels=48,
+                       micro_conds=False)
+    params = init_pixart(jax.random.key(0), cfg)
+    L = 6
+    rng = np.random.RandomState(0)
+    null_embeds = rng.randn(L, 48).astype(np.float32) * 0.02
+
+    def model_fn(x, t, cond):
+        out = pixart_forward(params, x, cond["embeds"], t, cfg,
+                             PixArtQuantConfig(),
+                             encoder_attention_mask=cond["mask"])
+        # learned-variance layout expected by the server (2C channels)
+        return out
+
+    srv = DiffusionServer(
+        model_fn, (4, 8, 8), num_steps=3, slots=2,
+        null_condition={"embeds": null_embeds,
+                        "mask": np.ones((L,), np.float32)})
+    for i in range(3):
+        srv.submit(Request(
+            request_id=i,
+            condition={"embeds": rng.randn(L, 48).astype(np.float32) * 0.02,
+                       "mask": np.ones((L,), np.float32)}))
+    results = srv.run_until_drained()
+    assert sorted(results) == [0, 1, 2]
+    for r in results.values():
+        assert r.latent.shape == (4, 8, 8)
+        assert np.isfinite(r.latent).all()
