@@ -7,7 +7,8 @@ pass, feeding bf16 MXU matmuls.  Numerics match the bit-exact emulation
 (TPU flushes them in arithmetic anyway) — the emulation path remains the
 oracle for bit-level parity.
 
-Covers the reference's operating points: int8/int4/int2 elem formats,
+Covers the reference's operating points: the int grids (int8/int4/int2)
+AND the MXFP element formats (fp8_e5m2/e4m3, fp6_e3m2/e2m3, fp4_e2m1),
 shared_exp_method="max", round="nearest", scale_bits=8, block 32.
 """
 
@@ -21,13 +22,15 @@ import jax.numpy as jnp
 from ..formats import format_params
 
 _INT_FMTS = ("int8", "int4", "int2")
+_FP_FMTS = ("fp8_e5m2", "fp8_e4m3", "fp6_e3m2", "fp6_e2m3", "fp4_e2m1",
+            "fp4")
 
 
 def fused_eligible(specs, *fmts) -> bool:
     """Can these specs take the fast path for the given element formats?"""
     if specs is None or specs.custom_tpu != "fused":
         return False
-    if any(f not in _INT_FMTS for f in fmts):
+    if any(f not in _INT_FMTS + _FP_FMTS for f in fmts):
         return False
     return (specs.shared_exp_method == "max"
             and not specs.mx_flush_fp32_subnorms
@@ -50,8 +53,7 @@ def quantize_mx_fast(x: jax.Array, elem_format: str, block_size: int,
 
     Returns the quantized values in ``out_dtype`` (bf16 exact for int grids).
     """
-    ebits, mbits, emax, _, _ = format_params(elem_format)
-    assert ebits == 0
+    ebits, mbits, emax, max_norm, _ = format_params(elem_format)
     axis = axis % x.ndim
     x = x.astype(jnp.float32)
 
@@ -68,7 +70,7 @@ def quantize_mx_fast(x: jax.Array, elem_format: str, block_size: int,
 
     bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
     mb = jnp.max(bits, axis=baxis, keepdims=True)
-    e = (mb >> 23) - 127  # emax offset is 0 for int formats
+    e = (mb >> 23) - 127 - emax  # shared exp offset by elem emax (fp fmts)
     scale_emax = 2 ** (scale_bits - 1) - 1
     e = jnp.clip(e, -scale_emax, scale_emax)
 
@@ -77,17 +79,46 @@ def quantize_mx_fast(x: jax.Array, elem_format: str, block_size: int,
     scale = jax.lax.bitcast_convert_type(
         ((e + 127) << 23).astype(jnp.int32), jnp.float32)
 
-    half = float(2 ** (mbits - 2))
-    qmax = float(2 ** (mbits - 1) - 1)
-    scaled = xb * inv_scale * half
-    q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
-    q = jnp.clip(q, -qmax, qmax)
-    out = (q * (1.0 / half)) * scale
+    scaled = xb * inv_scale
+    out = _elemwise_grid_round(scaled, ebits, mbits, max_norm) * scale
 
     out = out.reshape(x.shape).astype(out_dtype)
     if pad:
         out = jax.lax.slice_in_dim(out, 0, n, axis=axis)
     return out
+
+
+def _elemwise_grid_round(scaled, ebits, mbits, max_norm):
+    """Round ``scaled`` to the element grid, float-domain.
+
+    int grids (ebits==0): fixed spacing 2^-(mbits-2), clamp at the int max.
+    fp grids: private exponent floor(log2|x|) clamped at the format minimum
+    normal (denorms keep reduced precision), mantissa rounded half-away,
+    saturate at max_norm — quantize_elemwise_core semantics with
+    saturate_normals=True, allow_denorm=True, round="nearest"
+    (the quantize_mx contract, ops/mx.py).
+    """
+    if ebits == 0:
+        half = float(2 ** (mbits - 2))
+        qmax = float(2 ** (mbits - 1) - 1)
+        s = scaled * half
+        q = jnp.sign(s) * jnp.floor(jnp.abs(s) + 0.5)
+        return jnp.clip(q, -qmax, qmax) * (1.0 / half)
+
+    min_exp = -(2 ** (ebits - 1)) + 2
+    b = jax.lax.bitcast_convert_type(scaled, jnp.int32) & 0x7FFFFFFF
+    pe = jnp.maximum((b >> 23) - 127, min_exp)   # private exponent
+    # spacing = 2^(pe - (mbits-2)); |pe| stays in normal-exponent range for
+    # MX-scaled inputs (|scaled| <= 2^(emax+1))
+    sp_e = jnp.clip(pe - (mbits - 2), -126, 127)
+    spacing = jax.lax.bitcast_convert_type(
+        ((sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
+    inv_spacing = jax.lax.bitcast_convert_type(
+        ((-sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
+    s = scaled * inv_spacing                     # |s| < 2^(mbits-1), exact
+    q = jnp.sign(s) * jnp.floor(jnp.abs(s) + 0.5)
+    out = q * spacing
+    return jnp.clip(out, -max_norm, max_norm)    # saturate_normals=True
 
 
 def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,

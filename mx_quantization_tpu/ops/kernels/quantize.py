@@ -7,9 +7,10 @@ rescale.  The warp __shfl_xor butterfly max maps to a lane-local reshape-max
 on the VPU; the exponent extraction and power-of-two scales use integer bit
 manipulation (exact, no transcendentals).
 
-This kernel serves the ``custom_tpu="fused"`` fast path for int formats
-(int8/int4/int2) with round="nearest" — the reference's operating points.
-The general emulation path (ops/mx.py) remains the bit-exact oracle.
+This kernel serves the ``custom_tpu="fused"`` fast path for the int grids
+(int8/int4/int2) and the MXFP element formats (fp8/fp6/fp4) with
+round="nearest" — the reference's operating points.  The general emulation
+path (ops/mx.py) remains the bit-exact oracle.
 """
 
 from __future__ import annotations
@@ -35,17 +36,21 @@ def _use_interpret() -> bool:
 
 
 def _quantize_block_values_axis0(x, block_size: int, mbits: int,
-                                 scale_bits: int, out_dtype):
+                                 scale_bits: int, out_dtype,
+                                 ebits: int = 0, emax: int = 0,
+                                 max_norm: float = 0.0):
     """Same as _quantize_block_values but blocks along axis 0 of a 2D x
     (K, N) — the layout of the second matmul operand.  Avoids an in-kernel
-    transpose."""
+    transpose.  ebits == 0: int grid; ebits > 0: MXFP grid (private
+    exponent clamped at the format minimum normal, mantissa rounded
+    half-away, saturate at max_norm — the quantize_mx contract)."""
     K, N = x.shape
     nb = K // block_size
     xb = x.astype(jnp.float32).reshape(nb, block_size, N)
 
     bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
     mb = jnp.max(bits, axis=1, keepdims=True)
-    e = (mb >> 23) - 127
+    e = (mb >> 23) - 127 - emax
     scale_emax = 2 ** (scale_bits - 1) - 1
     e = jnp.clip(e, -scale_emax, scale_emax)
 
@@ -54,20 +59,36 @@ def _quantize_block_values_axis0(x, block_size: int, mbits: int,
     scale = jax.lax.bitcast_convert_type(
         ((e + 127) << 23).astype(jnp.int32), jnp.float32)
 
-    half = float(2 ** (mbits - 2))
-    qmax = float(2 ** (mbits - 1) - 1)
-    scaled = xb * inv_scale * half
-    q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
-    q = jnp.clip(q, -qmax, qmax)
-    out = q * scale * (1.0 / half)
+    if ebits == 0:
+        half = float(2 ** (mbits - 2))
+        qmax = float(2 ** (mbits - 1) - 1)
+        scaled = xb * inv_scale * half
+        q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+        q = jnp.clip(q, -qmax, qmax)
+        out = q * scale * (1.0 / half)
+        return out.reshape(K, N).astype(out_dtype)
+
+    scaled = xb * inv_scale
+    min_exp = -(2 ** (ebits - 1)) + 2
+    sb = jax.lax.bitcast_convert_type(scaled, jnp.int32) & 0x7FFFFFFF
+    pe = jnp.maximum((sb >> 23) - 127, min_exp)
+    sp_e = jnp.clip(pe - (mbits - 2), -126, 127)
+    spacing = jax.lax.bitcast_convert_type(
+        ((sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
+    inv_spacing = jax.lax.bitcast_convert_type(
+        ((-sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
+    sm = scaled * inv_spacing
+    q = jnp.sign(sm) * jnp.floor(jnp.abs(sm) + 0.5)
+    out = jnp.clip(q * spacing, -max_norm, max_norm) * scale
     return out.reshape(K, N).astype(out_dtype)
 
 
 def _quantize_kernel(x_ref, o_ref, *, block_size, mbits, scale_bits,
-                     out_dtype):
+                     out_dtype, ebits, emax, max_norm):
     # transpose so K blocks land on sublanes (see layout note above)
     qt = _quantize_block_values_axis0(x_ref[:].T, block_size, mbits,
-                                      scale_bits, out_dtype)
+                                      scale_bits, out_dtype, ebits, emax,
+                                      max_norm)
     o_ref[:] = qt.T
 
 
@@ -82,8 +103,7 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
     x: (..., K) fp32/bf16, K % block_size == 0.  Returns same shape in
     ``out_dtype`` (bf16 holds every MXINT8 grid point exactly).
     """
-    ebits, mbits, emax, _, _ = format_params(elem_format)
-    assert ebits == 0, "fused kernel supports int element formats"
+    ebits, mbits, emax, max_norm, _ = format_params(elem_format)
     orig_shape = x.shape
     K = orig_shape[-1]
     assert K % block_size == 0, (K, block_size)
@@ -108,7 +128,8 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
     out = pl.pallas_call(
         functools.partial(_quantize_kernel, block_size=block_size,
                           mbits=mbits, scale_bits=scale_bits,
-                          out_dtype=out_dtype),
+                          out_dtype=out_dtype, ebits=ebits, emax=emax,
+                          max_norm=max_norm),
         grid=((M + pad) // tm,),
         in_specs=[pl.BlockSpec((tm, K), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -123,9 +144,10 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
 
 
 def _quantize_kernel_axis0(x_ref, o_ref, *, block_size, mbits, scale_bits,
-                           out_dtype):
+                           out_dtype, ebits, emax, max_norm):
     o_ref[:] = _quantize_block_values_axis0(x_ref[:], block_size, mbits,
-                                            scale_bits, out_dtype)
+                                            scale_bits, out_dtype, ebits,
+                                            emax, max_norm)
 
 
 @functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
@@ -139,8 +161,7 @@ def mx_quantize_pallas_axis2(x: jax.Array, elem_format: str = "int8",
 
     x: (..., K, N) with K % block_size == 0.  Leading dims are vmapped.
     """
-    ebits, mbits, _, _, _ = format_params(elem_format)
-    assert ebits == 0
+    ebits, mbits, emax, max_norm, _ = format_params(elem_format)
     orig_shape = x.shape
     K, N = orig_shape[-2], orig_shape[-1]
     assert K % block_size == 0, (K, block_size)
@@ -155,7 +176,8 @@ def mx_quantize_pallas_axis2(x: jax.Array, elem_format: str = "int8",
         return pl.pallas_call(
             functools.partial(_quantize_kernel_axis0, block_size=block_size,
                               mbits=mbits, scale_bits=scale_bits,
-                              out_dtype=out_dtype),
+                              out_dtype=out_dtype, ebits=ebits, emax=emax,
+                              max_norm=max_norm),
             grid=((N + pad) // tn,),
             in_specs=[pl.BlockSpec((K, tn), lambda j: (0, j),
                                    memory_space=pltpu.VMEM)],

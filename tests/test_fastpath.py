@@ -28,7 +28,9 @@ def rand(*shape, seed=0, scale=1.0):
     return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
 
 
-@pytest.mark.parametrize("fmt", ["int8", "int4", "int2"])
+@pytest.mark.parametrize("fmt", ["int8", "int4", "int2", "fp8_e5m2",
+                                 "fp8_e4m3", "fp6_e3m2", "fp6_e2m3",
+                                 "fp4_e2m1"])
 @pytest.mark.parametrize("axis", [-1, -2])
 def test_fastquant_matches_oracle(fmt, axis):
     x = rand(48, 64, seed=1, scale=3.0)
@@ -72,7 +74,8 @@ def test_matmul_fused_equals_ref():
 def test_fused_eligibility_gates():
     assert fused_eligible(FUSED, "int8", "int8")
     assert not fused_eligible(REF, "int8", "int8")
-    assert not fused_eligible(FUSED, "fp8_e4m3", "int8")
+    assert fused_eligible(FUSED, "fp8_e4m3", "int8")  # MXFP fast path
+    assert not fused_eligible(FUSED, "fp16", "int8")
     flushy = FUSED.replace(mx_flush_fp32_subnorms=True)
     assert not fused_eligible(flushy, "int8", "int8")
 
@@ -118,10 +121,11 @@ def test_pallas_quantize_kernel_matches_xla(shape, dtype):
     from mx_quantization_tpu.ops.fastquant import quantize_mx_fast
     from mx_quantization_tpu.ops.kernels.quantize import mx_quantize_pallas
     x = rand(*shape, seed=21, scale=3.0).astype(dtype)
-    ref = quantize_mx_fast(x, "int8", 32, 8, axis=-1)
-    got = mx_quantize_pallas(x, "int8", 32, 8)
-    np.testing.assert_array_equal(np.asarray(ref, np.float32),
-                                  np.asarray(got, np.float32))
+    for fmt in ("int8", "fp8_e4m3", "fp6_e2m3"):
+        ref = quantize_mx_fast(x, fmt, 32, 8, axis=-1)
+        got = mx_quantize_pallas(x, fmt, 32, 8)
+        np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                      np.asarray(got, np.float32))
 
 
 def test_quantize_mx_serving_dispatch():
