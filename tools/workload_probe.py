@@ -113,8 +113,9 @@ def pixart_probe(B=8, steps=20):
 
 
 if __name__ == "__main__":
+    # reference run_deit.sh:14-52 operating points
+    deit_probe(model="deit_tiny_patch16_224", k=80)
     deit_probe()
-    # reference run_deit.sh:41-52 base operating point (EXION predictor)
     deit_probe(model="deit_base_patch16_224", k=30,
                pred_mode="two_step_leading_ones")
     pixart_probe()
