@@ -17,6 +17,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import argparse
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -25,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mx_quantization_tpu.ops.kernels.topk_attention import (
-    _exp_sign_approx, _mono_keys, _quant_axis0)
+    _exp_sign_approx, _mono_keys, _quant_axis0, _two_step_approx)
 
 N, D, K, BS = 256, 72, 154, 32
 HEADS = 64  # rows of independent (q, k) draws
@@ -43,6 +45,10 @@ def select(keys, k):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pred-mode", default="ex_pred",
+                    choices=["ex_pred", "two_step_leading_ones"])
+    args = ap.parse_args()
     rng = np.random.RandomState(0)
     recalls = {32: [], 16: [], 8: []}
     flips = {16: [], 8: []}
@@ -58,8 +64,12 @@ def main():
         kt = np.pad(k_.T, ((0, Dp - D), (0, 0))).astype(np.float32)
         qv, qe = _quant_axis0(jnp.asarray(qt), BS, 8, 8)
         kv, ke = _quant_axis0(jnp.asarray(kt), BS, 8, 8)
-        aq = np.asarray(_exp_sign_approx(qv, qe, BS), np.float32)
-        ak = np.asarray(_exp_sign_approx(kv, ke, BS), np.float32)
+        if args.pred_mode == "two_step_leading_ones":
+            aq = np.asarray(_two_step_approx(qv, qe, BS), np.float32)
+            ak = np.asarray(_two_step_approx(kv, ke, BS), np.float32)
+        else:
+            aq = np.asarray(_exp_sign_approx(qv, qe, BS), np.float32)
+            ak = np.asarray(_exp_sign_approx(kv, ke, BS), np.float32)
         dmask = (np.arange(Dp) < D)[:, None]
         aq *= dmask
         ak *= dmask
