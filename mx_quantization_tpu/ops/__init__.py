@@ -63,7 +63,8 @@ from .conv import conv1d, conv2d, conv3d, mx_conv
 from .transpose_conv import conv_transpose2d, mx_conv_transpose2d
 from .pooling import adaptive_avg_pool2d, mx_adaptive_avg_pool2d
 from .batchnorm import BatchNormState, batch_norm, init_batchnorm_state
-from .rnn import LSTMParams, init_lstm, lstm
+from .rnn import (LSTMParams, LSTMStackParams, init_lstm,
+                  init_lstm_stack, lstm, lstm_stack)
 from .simd import (simd_add, simd_div, simd_exp, simd_log, simd_mul,
                    simd_norm, simd_reduce_mean, simd_reduce_sum, simd_split,
                    simd_sqrt, simd_square, simd_sub)

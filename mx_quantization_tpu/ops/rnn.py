@@ -68,3 +68,44 @@ def lstm(x: jax.Array, params: LSTMParams,
 
     (h, c), ys = jax.lax.scan(cell, (h, c), x)
     return ys, (h, c)
+
+
+class LSTMStackParams(NamedTuple):
+    """Per layer: (forward LSTMParams, backward LSTMParams or None)."""
+    layers: Tuple[Tuple[LSTMParams, Optional[LSTMParams]], ...]
+
+
+def init_lstm_stack(key, input_size: int, hidden_size: int,
+                    num_layers: int = 1, bias: bool = True,
+                    bidirectional: bool = False) -> LSTMStackParams:
+    """Multi-layer (optionally bidirectional) LSTM init — the reference
+    LSTM module's full configuration space (rnn.py:18-67): layer n > 0
+    consumes D*hidden_size features."""
+    D = 2 if bidirectional else 1
+    layers = []
+    for n in range(num_layers):
+        in_f = input_size if n == 0 else D * hidden_size
+        key, kf, kb = jax.random.split(key, 3)
+        fwd = init_lstm(kf, in_f, hidden_size, bias)
+        bwd = init_lstm(kb, in_f, hidden_size, bias) if bidirectional \
+            else None
+        layers.append((fwd, bwd))
+    return LSTMStackParams(tuple(layers))
+
+
+def lstm_stack(x: jax.Array, params: LSTMStackParams, mx_specs=None
+               ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """x: (T, B, I) -> (outputs (T, B, D*H), (h_n, c_n) each
+    (D*num_layers, B, H)) — torch nn.LSTM layout/order (layer-major,
+    directions adjacent, rnn.py:58-67)."""
+    hs, cs = [], []
+    for fwd, bwd in params.layers:
+        yf, (hf, cf) = lstm(x, fwd, mx_specs=mx_specs)
+        hs.append(hf); cs.append(cf)
+        if bwd is not None:
+            yb, (hb, cb) = lstm(jnp.flip(x, axis=0), bwd, mx_specs=mx_specs)
+            hs.append(hb); cs.append(cb)
+            x = jnp.concatenate([yf, jnp.flip(yb, axis=0)], axis=-1)
+        else:
+            x = yf
+    return x, (jnp.stack(hs), jnp.stack(cs))

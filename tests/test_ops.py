@@ -244,3 +244,47 @@ def test_simd_split():
     assert jnp.abs(g - 3.0).max() < 1e-2
     a2, b2 = simd_split(x)  # no-specs fallback
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(x))
+
+
+def test_lstm_stack_matches_torch():
+    """Multi-layer bidirectional LSTM (unquantized) == torch.nn.LSTM with
+    the same weights (the reference module's configuration space,
+    rnn.py:18-67)."""
+    import torch
+    from mx_quantization_tpu.ops import init_lstm_stack, lstm_stack
+
+    T, B, I, H, L = 5, 3, 6, 4, 2
+    params = init_lstm_stack(jax.random.key(0), I, H, num_layers=L,
+                             bidirectional=True)
+    ref = torch.nn.LSTM(I, H, num_layers=L, bidirectional=True)
+    with torch.no_grad():
+        for n, (fwd, bwd) in enumerate(params.layers):
+            for suffix, p in (("", fwd), ("_reverse", bwd)):
+                getattr(ref, f"weight_ih_l{n}{suffix}").copy_(
+                    torch.from_numpy(np.asarray(p.w_ih)))
+                getattr(ref, f"weight_hh_l{n}{suffix}").copy_(
+                    torch.from_numpy(np.asarray(p.w_hh)))
+                getattr(ref, f"bias_ih_l{n}{suffix}").copy_(
+                    torch.from_numpy(np.asarray(p.b_ih)))
+                getattr(ref, f"bias_hh_l{n}{suffix}").copy_(
+                    torch.from_numpy(np.asarray(p.b_hh)))
+
+    x = np.random.RandomState(0).randn(T, B, I).astype(np.float32)
+    out, (h, c) = lstm_stack(jnp.asarray(x), params)
+    with torch.no_grad():
+        tout, (th, tc) = ref(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(out), tout.numpy(),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(h), th.numpy(), rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c), tc.numpy(), rtol=2e-5,
+                               atol=2e-6)
+
+    # quantized stack: finite + shapes
+    specs = finalize_mx_specs(dict(w_elem_format="int8",
+                                   a_elem_format="int8", scale_bits=8,
+                                   block_size=32, bfloat=16,
+                                   quantize_backprop=False))
+    qo, _ = lstm_stack(jnp.asarray(x), params, mx_specs=specs)
+    assert qo.shape == (T, B, 2 * H)
+    assert np.isfinite(np.asarray(qo)).all()
