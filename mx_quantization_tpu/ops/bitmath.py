@@ -15,7 +15,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_SIGN_MASK = jnp.int32(-2147483648)  # 0x80000000
+# python int, NOT jnp.int32: a module-level device constant would
+# initialize the XLA backend at import time, breaking multi-host users
+# who must call jax.distributed.initialize() before any backend use
+_SIGN_MASK = -2147483648  # 0x80000000
 _EXP_MASK = 0x7F800000
 _MANT_MASK = 0x007FFFFF
 _IMPLICIT_ONE = 0x00800000

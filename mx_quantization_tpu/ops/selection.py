@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_SIGN = jnp.int32(-2147483648)  # 0x80000000
+_SIGN = -2147483648  # 0x80000000 (python int: no import-time backend init)
 
 
 def monotonic_keys(x: jax.Array) -> jax.Array:
