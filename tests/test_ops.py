@@ -288,3 +288,24 @@ def test_lstm_stack_matches_torch():
     qo, _ = lstm_stack(jnp.asarray(x), params, mx_specs=specs)
     assert qo.shape == (T, B, 2 * H)
     assert np.isfinite(np.asarray(qo)).all()
+
+
+def test_topk_attention_mxfp_activations():
+    """MXFP activation formats route through the XLA attention path (the
+    fused kernel gates int8) and match the emulation engine."""
+    from mx_quantization_tpu.attention import TopKAttentionConfig, \
+        topk_attention
+    fused = finalize_mx_specs(dict(w_elem_format="fp8_e4m3",
+                                   a_elem_format="fp8_e4m3", scale_bits=8,
+                                   block_size=32, quantize_backprop=False,
+                                   custom_tpu="fused"))
+    ref = fused.replace(custom_tpu="")
+    q = rand(1, 2, 64, 64, seed=50)
+    k = rand(1, 2, 64, 64, seed=51)
+    v = rand(1, 2, 64, 64, seed=52)
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=12,
+                              approx_flag=True, pred_mode="ex_pred")
+    out_f, _ = topk_attention(q, k, v, 0.125, fused, cfg)
+    out_r, _ = topk_attention(q, k, v, 0.125, ref, cfg)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
