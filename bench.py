@@ -79,9 +79,12 @@ def main():
     params = init_dit(jax.random.key(0), cfg)
 
     # serving setup: snap weights to the MX grid once (numerically identical,
-    # skips per-step weight quantization — reference prequantize_weights)
+    # skips per-step weight quantization — reference prequantize_weights) and
+    # store them bf16 (exact for MXINT8 grid points; kills the per-step
+    # f32->bf16 weight-stack converts and halves their HBM reads)
     from mx_quantization_tpu.utils.prequantize import prequantize_weights
-    q_params, specs = prequantize_weights(params, specs)
+    q_params, specs = prequantize_weights(params, specs,
+                                          serve_dtype=jnp.bfloat16)
 
     B = 32  # images per forward (CFG doubles internally: 2*B model batch);
     # best imgs/sec/chip in the B in {8,16,24,32,48,64} sweep at key_bits=8

@@ -43,7 +43,8 @@ def main():
         custom_tpu="fused"))
     cfg = DiT_models["DiT-XL/2"](input_size=32)
     params = init_dit(jax.random.key(0), cfg)
-    q_params, specs = prequantize_weights(params, specs)
+    q_params, specs = prequantize_weights(params, specs,
+                                          serve_dtype=jnp.bfloat16)
 
     B = 8
     x = 0.1 * jax.random.normal(jax.random.key(1), (2 * B, 4, 32, 32))
