@@ -28,6 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fp", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--trace-dir", default="/tmp/mx_step_trace")
     args = ap.parse_args()
@@ -46,7 +47,7 @@ def main():
     q_params, specs = prequantize_weights(params, specs,
                                           serve_dtype=jnp.bfloat16)
 
-    B = 8
+    B = args.batch
     x = 0.1 * jax.random.normal(jax.random.key(1), (2 * B, 4, 32, 32))
     t = jnp.full((2 * B,), 500.0)
     y = jnp.concatenate([jnp.arange(B) % 1000, jnp.full((B,), 1000)]
