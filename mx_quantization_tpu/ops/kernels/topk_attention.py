@@ -25,7 +25,13 @@ on the fused path):
 
 Layout notes (Mosaic): the lane (minor) dimension cannot be reshaped into
 32-wide blocks, so all quantization places blocks on sublanes: q/k arrive
-pre-transposed as (D, N) tiles, attn is transposed in-register before PV.
+pre-transposed as (D, N) tiles.  Scores, selection, and softmax run in
+TRANSPOSED (S, N) layout (keys on sublanes): the MXU emits the transposed
+score matrices for free, per-query reductions become cross-sublane (cheap),
+and attn lands PV-ready with no in-register transpose — measured 1.45x on
+the kernel (tools/attnk_bench.py `trans` vs `full`).  The only numeric
+delta vs the straight layout is the softmax denominator's f32 accumulation
+order (near-tie attn-quantize flips at the 2^-9 scale).
 """
 
 from __future__ import annotations
@@ -154,15 +160,18 @@ def _threshold_ex_approx(qvals, exps, block_size):
 
 
 def _kth_keys(keys, k, n_iters=32, lo_init=_IMIN, hi_init=2147483647):
-    """Per-row k-th largest int32 key (rows = axis 0) via binary search."""
-    R = keys.shape[0]
-    lo = jnp.full((R, 1), jnp.int32(lo_init))
-    hi = jnp.full((R, 1), jnp.int32(hi_init))
+    """Per-COLUMN k-th largest int32 key of ``keys`` (S, N) via binary
+    search.  Columns are the query rows of the transposed score layout;
+    the per-iteration count is a cross-sublane reduction (cheap on the
+    VPU, unlike cross-lane)."""
+    N = keys.shape[1]
+    lo = jnp.full((1, N), jnp.int32(lo_init))
+    hi = jnp.full((1, N), jnp.int32(hi_init))
 
     def body(_, state):
         lo, hi = state
         mid = lo + jax.lax.shift_right_logical(hi - lo, 1)
-        cnt = jnp.sum((keys > mid).astype(jnp.int32), axis=1, keepdims=True)
+        cnt = jnp.sum((keys > mid).astype(jnp.int32), axis=0, keepdims=True)
         up = cnt >= k
         return jnp.where(up, mid + 1, lo), jnp.where(up, hi, mid)
 
@@ -265,7 +274,7 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
     return vals, a
 
 
-def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
+def _one_cell(q_nd, k_nd, v_nd, bias_col, o_ref, c, *, block_size, mbits,
               scale_bits, k, scale, s_valid, d_valid, approx, pred_mode,
               key_bits, out_dtype, proj_mat=None):
     qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx,
@@ -275,31 +284,42 @@ def _one_cell(q_nd, k_nd, v_nd, bias_row, o_ref, c, *, block_size, mbits,
     v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
                           scale_bits)
     o_ref[c] = _score_select_output(
-        qv, aq, kv, ak, v_q, bias_row, block_size=block_size, mbits=mbits,
+        qv, aq, kv, ak, v_q, bias_col, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
         approx=approx, pred_mode=pred_mode,
         key_bits=key_bits).astype(out_dtype)
 
 
-def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
+def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
                          mbits, scale_bits, k, scale, s_valid, approx,
                          key_bits, pred_mode="ex_pred"):
     """Quantized operands (Dp, N)/(Dp, S) + v_q (S, D) -> attention (N, D)
-    f32: true/pred scores, exact top-k selection, masked softmax, PV."""
+    f32: true/pred scores, exact top-k selection, masked softmax, PV.
+
+    The whole pipeline runs in TRANSPOSED (S, N) layout: the MXU emits both
+    score matrices pre-transposed for free (swap the dot operands — each
+    element is the same sum over the head dim, so values are bit-identical),
+    every per-query reduction (search counts, n_gt, softmax max/sum) becomes
+    a cross-SUBLANE reduction (much cheaper on the VPU than cross-lane), and
+    attn comes out already (S, N) — exactly the layout the PV quantize
+    needs, deleting the in-register attn.T (measured 1.45x on the kernel,
+    tools/attnk_bench.py `trans`).  Only the softmax denominator's f32
+    accumulation ORDER changes vs the XLA path — near-tie attn-quantize
+    flips at the 2^-9 scale."""
     N = qv.shape[1]
     S = kv.shape[1]
 
     dn = (((0,), (0,)), ((), ()))
-    s_true = jax.lax.dot_general(qv, kv, dn,
+    s_true = jax.lax.dot_general(kv, qv, dn,
                                  preferred_element_type=jnp.float32) * scale
-    if bias_row is not None:
-        # additive attention bias/mask, one row per cell, added to BOTH the
-        # true and predicted scores (MX_transformer_block.py:794-820)
-        s_true = s_true + bias_row.astype(jnp.float32)
+    if bias_col is not None:
+        # additive attention bias/mask, one column per cell, added to BOTH
+        # the true and predicted scores (MX_transformer_block.py:794-820)
+        s_true = s_true + bias_col.astype(jnp.float32)
 
-    neg = jnp.full((N, S), -3.0e38, jnp.float32)
+    neg = jnp.full((S, N), -3.0e38, jnp.float32)
     if approx:
-        s_sel = jax.lax.dot_general(aq, ak, dn,
+        s_sel = jax.lax.dot_general(ak, aq, dn,
                                     preferred_element_type=jnp.float32)
         if pred_mode == "ELSA":
             # aq/ak are +-1 hash bits; score = ||k|| * cos(pi/bits *
@@ -307,27 +327,30 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
             bits = float(aq.shape[0])
             ham = 0.5 * (bits - s_sel)
             ang = jnp.maximum((jnp.pi / bits) * ham - _ELSA_THETA, 0.0)
-            knorm = jnp.sqrt(jnp.sum(kv.astype(jnp.float32) ** 2, axis=0,
-                                     keepdims=True))
-            s_sel = knorm * jnp.cos(ang)
-        if bias_row is not None:
-            s_sel = s_sel + bias_row.astype(jnp.float32)
+            kvf = kv.astype(jnp.float32)
+            knorm2 = jax.lax.dot_general(
+                kvf * kvf, jnp.ones((kvf.shape[0], 1), jnp.float32), dn,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            s_sel = jnp.sqrt(knorm2) * jnp.cos(ang)
+        if bias_col is not None:
+            s_sel = s_sel + bias_col.astype(jnp.float32)
     else:
         s_sel = s_true
     if s_valid < S:
-        col = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
-        s_sel = jnp.where(col >= s_valid, neg, s_sel)  # padded key columns
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0)
+        s_sel = jnp.where(row >= s_valid, neg, s_sel)  # padded key rows
 
     if k >= s_valid:
         # dense attention (k covers every valid key): skip the search and
-        # tie-rank entirely — plain masked softmax over the valid columns
-        col = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
-        sel = col < s_valid
+        # tie-rank entirely — plain masked softmax over the valid keys
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0)
+        sel = row < s_valid
         masked = jnp.where(sel, s_true, neg)
-        m = jnp.max(masked, axis=1, keepdims=True)
+        m = jnp.max(masked, axis=0, keepdims=True)
         e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
-        attn = e / jnp.sum(e, axis=1, keepdims=True)
-        at_q, _ = _quant_axis0(attn.T, block_size, mbits, scale_bits)
+        attn_t = e / jnp.sum(e, axis=0, keepdims=True)
+        at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits)
         return jax.lax.dot_general(at_q, v_q, dn,
                                    preferred_element_type=jnp.float32)
 
@@ -354,24 +377,25 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_row, *, block_size,
         kth = _kth_keys(keys, k)
     gt = keys > kth
     eq = keys == kth
-    n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
-    # lowest-index-first tie rank via inclusive lower-triangular matmul
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <=
-           jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    n_gt = jnp.sum(gt.astype(jnp.int32), axis=0, keepdims=True)
+    # lowest-index-first tie rank via inclusive lower-triangular matmul:
+    # rank[c, r] = sum_{c' <= c} eq[c', r]
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 1) <=
+           jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
            ).astype(jnp.float32).astype(jnp.bfloat16)
     rank = jax.lax.dot_general(
-        eq.astype(jnp.float32).astype(jnp.bfloat16), tri,
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+        tri, eq.astype(jnp.float32).astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     sel = gt | (eq & (rank <= (k - n_gt).astype(jnp.float32)))
 
     masked = jnp.where(sel, s_true, neg)
-    m = jnp.max(masked, axis=1, keepdims=True)
+    m = jnp.max(masked, axis=0, keepdims=True)
     e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
-    attn = e / jnp.sum(e, axis=1, keepdims=True)
+    attn_t = e / jnp.sum(e, axis=0, keepdims=True)
 
-    # attn quantized along S (its last axis) -> transpose, blocks on sublanes
-    at_q, _ = _quant_axis0(attn.T, block_size, mbits, scale_bits)
+    # attn (S, N) already has the PV blocks on sublanes — no transpose
+    at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits)
     return jax.lax.dot_general(at_q, v_q, dn,
                                preferred_element_type=jnp.float32)
 
@@ -405,9 +429,9 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
 
     qv, aq = _prep_side(q_ref[0], block_size, mbits, scale_bits, d_valid,
                         approx, pred_mode, side="q")
-    bias_row = None if b_ref is None else b_ref[0]
+    bias_col = None if b_ref is None else b_ref[0]
     o_ref[0] = _score_select_output(
-        qv, aq, kv_s[:], ak_s[:] if approx else None, vq_s[:], bias_row,
+        qv, aq, kv_s[:], ak_s[:] if approx else None, vq_s[:], bias_col,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
         scale=scale, s_valid=s_valid, approx=approx, pred_mode=pred_mode,
         key_bits=key_bits).astype(out_dtype)
@@ -532,10 +556,11 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
     G = B * H
     brow = None
     if bias is not None:
+        # transposed-pipeline layout: one (Sp, 1) bias COLUMN per cell
         assert bias.shape == (B, 1, 1, S), bias.shape
         brow = jnp.broadcast_to(bias.reshape(B, 1, S), (B, H, S))
-        brow = jnp.pad(brow.reshape(G, 1, S).astype(jnp.float32),
-                       ((0, 0), (0, 0), (0, Sp - S)))
+        brow = jnp.pad(brow.reshape(G, S, 1).astype(jnp.float32),
+                       ((0, 0), (0, Sp - S), (0, 0)))
 
     elsa = approx and pred_mode == "ELSA"
     if elsa and proj is None:
@@ -556,7 +581,7 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
         ]
         if brow is not None:
             operands.append(brow)
-            in_specs.append(pl.BlockSpec((cells, 1, Sp),
+            in_specs.append(pl.BlockSpec((cells, Sp, 1),
                                          lambda g: (g, 0, 0),
                                          memory_space=pltpu.VMEM))
         if elsa:
@@ -603,7 +628,7 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
         ]
         if brow is not None:
             operands.append(brow)
-            in_specs.append(pl.BlockSpec((1, 1, Sp), lambda g, t: (g, 0, 0),
+            in_specs.append(pl.BlockSpec((1, Sp, 1), lambda g, t: (g, 0, 0),
                                          memory_space=pltpu.VMEM))
         kern = functools.partial(
             _topk_attn_kernel_tiled, block_size=block_size, mbits=mbits,

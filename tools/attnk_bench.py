@@ -358,3 +358,106 @@ if os.environ.get("BATCHED") == "1":
     print("batched matches full:", np.array_equal(ob, of), flush=True)
     t = timed_chain(fb, q, k, v)
     print(f"batched: {t*1e6:.0f}us/call", flush=True)
+
+
+# ---- fully transposed (S, N) selection pipeline -------------------------
+# The MXU emits both score matrices pre-transposed for free (swap the dot
+# operands); per-row counts become cross-SUBLANE reductions (cheap) instead
+# of cross-lane; and attn comes out already (S, N) so the expensive
+# in-register attn.T before PV disappears.
+def _cell_trans(q_nd, k_nd, v_nd, o_ref, c):
+    Dp = _round_up(D, BS)
+    dpad = Dp - D
+
+    def prep_t(x_nd):
+        xt = x_nd.T.astype(jnp.float32)
+        if dpad:
+            xt = jnp.concatenate([xt, jnp.zeros((dpad, N), jnp.float32)], 0)
+        return xt
+
+    qv, qe = _quant_axis0(prep_t(q_nd), BS, MBITS, SB)
+    kv, ke = _quant_axis0(prep_t(k_nd), BS, MBITS, SB)
+
+    dn = (((0,), (0,)), ((), ()))
+    # transposed scores: (S, N) — keys on sublanes, queries on lanes
+    s_true = jax.lax.dot_general(kv, qv, dn,
+                                 preferred_element_type=jnp.float32) * SCALE
+    aq = _exp_sign_approx(qv, qe, BS)
+    ak = _exp_sign_approx(kv, ke, BS)
+    drow = jax.lax.broadcasted_iota(jnp.int32, (Dp, N), 0)
+    dmask = jnp.minimum(jnp.maximum(
+        jnp.float32(D) - drow.astype(jnp.float32), 0.0), 1.0
+    ).astype(jnp.bfloat16)
+    aq = aq * dmask
+    ak = ak * dmask
+    s_sel = jax.lax.dot_general(ak, aq, dn,
+                                preferred_element_type=jnp.float32)
+
+    keys = jax.lax.shift_right_arithmetic(_mono_keys(s_sel), 24)
+    lo = jnp.full((1, N), jnp.int32(-129))
+    hi = jnp.full((1, N), jnp.int32(128))
+
+    def body(_, state):
+        lo, hi = state
+        mid = lo + jax.lax.shift_right_logical(hi - lo, 1)
+        cnt = jnp.sum((keys > mid).astype(jnp.int32), axis=0, keepdims=True)
+        up = cnt >= K
+        return jnp.where(up, mid + 1, lo), jnp.where(up, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 9, body, (lo, hi))
+    kth = lo
+
+    gt = keys > kth
+    eq = keys == kth
+    n_gt = jnp.sum(gt.astype(jnp.int32), axis=0, keepdims=True)
+    # lowest-index-first tie rank: rank_T[c, r] = sum_{c'<=c} eq_T[c', r]
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) <=
+           jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+           ).astype(jnp.float32).astype(jnp.bfloat16)
+    rank = jax.lax.dot_general(
+        tri, eq.astype(jnp.float32).astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    sel = gt | (eq & (rank <= (K - n_gt).astype(jnp.float32)))
+
+    neg = jnp.full((N, N), -3.0e38, jnp.float32)
+    masked = jnp.where(sel, s_true, neg)
+    m = jnp.max(masked, axis=0, keepdims=True)
+    e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
+    attn_t = e / jnp.sum(e, axis=0, keepdims=True)   # (S, N) = attn.T
+
+    at_q, _ = _quant_axis0(attn_t, BS, MBITS, SB)    # blocks on sublanes
+    v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
+    out = jax.lax.dot_general(at_q, v_q, dn,
+                              preferred_element_type=jnp.float32)
+    o_ref[c] = out.astype(jnp.bfloat16)
+
+
+def make_trans():
+    def kern(q_ref, k_ref, v_ref, o_ref):
+        for c in range(CELLS):
+            _cell_trans(q_ref[c], k_ref[c], v_ref[c], o_ref, c)
+
+    @jax.jit
+    def run(q, k, v):
+        return pl.pallas_call(
+            kern,
+            grid=(G // CELLS,),
+            in_specs=[pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, N, D), jnp.bfloat16),
+        )(q, k, v)
+
+    return run
+
+
+if os.environ.get("TRANS") == "1":
+    ft = make_trans()
+    ff = make("full")
+    ot = np.asarray(ft(q, k, v), np.float32)
+    of = np.asarray(ff(q, k, v), np.float32)
+    print("trans matches full:", np.array_equal(ot, of),
+          "maxdiff:", np.abs(ot - of).max(), flush=True)
+    t = timed_chain(ft, q, k, v)
+    print(f"trans: {t*1e6:.0f}us/call", flush=True)
