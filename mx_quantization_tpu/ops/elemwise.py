@@ -197,9 +197,18 @@ def quantize_elemwise_op(A: jax.Array, mx_specs, round: Optional[str] = None
 
     The bfloat16/RNE case lowers to a native bf16 round-trip cast — on TPU
     that is a vector-unit op that XLA folds into neighboring computation.
+
+    Sparse arrays: a ``jax.experimental.sparse`` BCOO/BCSR input has its
+    stored values quantized and its indices kept (the reference quantizes
+    torch sparse-COO values, elemwise_ops.py:112-118; its re-assembly bug
+    at :176-177 — an undefined ``output`` name — is not replicated).
     """
     if mx_specs is None:
         return A
+    if hasattr(A, "data") and hasattr(A, "indices") and not isinstance(
+            A, jax.Array):  # jax.experimental.sparse BCOO/BCSR
+        qdata = quantize_elemwise_op(A.data, mx_specs, round=round)
+        return A.__class__((qdata,) + A._bufs[1:], shape=A.shape)
     if round is None:
         round = mx_specs.round
 

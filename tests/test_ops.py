@@ -309,3 +309,23 @@ def test_topk_attention_mxfp_activations():
     out_r, _ = topk_attention(q, k, v, 0.125, ref, cfg)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_quantize_elemwise_sparse_bcoo():
+    """Sparse inputs: stored values quantized, indices kept (the reference
+    quantizes torch sparse-COO values, elemwise_ops.py:112-118; its broken
+    re-assembly at :176-177 is fixed here, not replicated)."""
+    from jax.experimental import sparse
+    from mx_quantization_tpu.ops.elemwise import quantize_elemwise_op
+    specs = finalize_mx_specs(dict(w_elem_format="int8",
+                                   a_elem_format="int8", scale_bits=8,
+                                   block_size=32, bfloat=16))
+    dense = jnp.array([[1.2345678, 0.0, -2.718281], [0.0, 3.1415926, 0.0]])
+    m = sparse.BCOO.fromdense(dense)
+    q = quantize_elemwise_op(m, specs)
+    assert isinstance(q, sparse.BCOO)
+    np.testing.assert_array_equal(np.asarray(q.indices),
+                                  np.asarray(m.indices))
+    np.testing.assert_array_equal(
+        np.asarray(q.todense()),
+        np.asarray(quantize_elemwise_op(dense, specs)))

@@ -155,10 +155,11 @@ q = jax.random.normal(jax.random.key(0), (G, N, D), jnp.bfloat16)
 k = jax.random.normal(jax.random.key(1), (G, N, D), jnp.bfloat16)
 v = jax.random.normal(jax.random.key(2), (G, N, D), jnp.bfloat16)
 
-for mode in ["full", "nopred", "nosel", "norank", "noaq", "noat",
-             "noquant+nosel+noaq"]:
-    t = timed_chain(make(mode), q, k, v)
-    print(f"{mode}: {t*1e6:.0f}us/call", flush=True)
+if os.environ.get("SKIP_BASE") != "1":
+    for mode in ["full", "nopred", "nosel", "norank", "noaq", "noat",
+                 "noquant+nosel+noaq"]:
+        t = timed_chain(make(mode), q, k, v)
+        print(f"{mode}: {t*1e6:.0f}us/call", flush=True)
 
 
 # ---- i16-packed selection variant -------------------------------------
@@ -365,7 +366,7 @@ if os.environ.get("BATCHED") == "1":
 # operands); per-row counts become cross-SUBLANE reductions (cheap) instead
 # of cross-lane; and attn comes out already (S, N) so the expensive
 # in-register attn.T before PV disappears.
-def _cell_trans(q_nd, k_nd, v_nd, o_ref, c):
+def _cell_trans(q_nd, k_nd, v_nd, o_ref, c, mode='full'):
     Dp = _round_up(D, BS)
     dpad = Dp - D
 
@@ -393,6 +394,20 @@ def _cell_trans(q_nd, k_nd, v_nd, o_ref, c):
     s_sel = jax.lax.dot_general(ak, aq, dn,
                                 preferred_element_type=jnp.float32)
 
+    if "nosel" in mode:
+        sel = s_sel > jnp.full((N, N), -3.0e38, jnp.float32)
+        neg = jnp.full((N, N), -3.0e38, jnp.float32)
+        masked = jnp.where(sel, s_true, neg)
+        m = jnp.max(masked, axis=0, keepdims=True)
+        e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
+        attn_t = e / jnp.sum(e, axis=0, keepdims=True)
+        at_q, _ = _quant_axis0(attn_t, BS, MBITS, SB)
+        v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
+        out = jax.lax.dot_general(at_q, v_q, dn,
+                                  preferred_element_type=jnp.float32)
+        o_ref[c] = out.astype(jnp.bfloat16)
+        return
+
     keys = jax.lax.shift_right_arithmetic(_mono_keys(s_sel), 24)
     lo = jnp.full((1, N), jnp.int32(-129))
     hi = jnp.full((1, N), jnp.int32(128))
@@ -409,15 +424,18 @@ def _cell_trans(q_nd, k_nd, v_nd, o_ref, c):
 
     gt = keys > kth
     eq = keys == kth
-    n_gt = jnp.sum(gt.astype(jnp.int32), axis=0, keepdims=True)
-    # lowest-index-first tie rank: rank_T[c, r] = sum_{c'<=c} eq_T[c', r]
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) <=
-           jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-           ).astype(jnp.float32).astype(jnp.bfloat16)
-    rank = jax.lax.dot_general(
-        tri, eq.astype(jnp.float32).astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    sel = gt | (eq & (rank <= (K - n_gt).astype(jnp.float32)))
+    if "norank" in mode:
+        sel = gt | eq
+    else:
+        n_gt = jnp.sum(gt.astype(jnp.int32), axis=0, keepdims=True)
+        # lowest-index-first tie rank: rank_T[c, r] = sum_{c'<=c} eq_T[c', r]
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) <=
+               jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+               ).astype(jnp.float32).astype(jnp.bfloat16)
+        rank = jax.lax.dot_general(
+            tri, eq.astype(jnp.float32).astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        sel = gt | (eq & (rank <= (K - n_gt).astype(jnp.float32)))
 
     neg = jnp.full((N, N), -3.0e38, jnp.float32)
     masked = jnp.where(sel, s_true, neg)
@@ -425,17 +443,21 @@ def _cell_trans(q_nd, k_nd, v_nd, o_ref, c):
     e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
     attn_t = e / jnp.sum(e, axis=0, keepdims=True)   # (S, N) = attn.T
 
-    at_q, _ = _quant_axis0(attn_t, BS, MBITS, SB)    # blocks on sublanes
-    v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
+    if "noaq" in mode:
+        at_q = attn_t.astype(jnp.bfloat16)
+        v_q = v_nd.astype(jnp.float32).astype(jnp.bfloat16)
+    else:
+        at_q, _ = _quant_axis0(attn_t, BS, MBITS, SB)  # blocks on sublanes
+        v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
     out = jax.lax.dot_general(at_q, v_q, dn,
                               preferred_element_type=jnp.float32)
     o_ref[c] = out.astype(jnp.bfloat16)
 
 
-def make_trans():
+def make_trans(mode="full"):
     def kern(q_ref, k_ref, v_ref, o_ref):
         for c in range(CELLS):
-            _cell_trans(q_ref[c], k_ref[c], v_ref[c], o_ref, c)
+            _cell_trans(q_ref[c], k_ref[c], v_ref[c], o_ref, c, mode)
 
     @jax.jit
     def run(q, k, v):
@@ -451,6 +473,11 @@ def make_trans():
 
     return run
 
+
+if os.environ.get("TRANS2") == "1":
+    for mode in ["full", "nosel", "norank", "noaq"]:
+        t = timed_chain(make_trans(mode), q, k, v)
+        print(f"trans-{mode}: {t*1e6:.0f}us/call", flush=True)
 
 if os.environ.get("TRANS") == "1":
     ft = make_trans()
