@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.fastquant import fused_eligible
+from ..ops.kernels.quantize import ln_modulate_quantize_pallas
 from ..attention import (TopKAttentionConfig, fused_qkv_eligible,
                          fused_qkv_topk_attention, topk_attention)
 from ..ops import conv2d, linear
@@ -75,6 +77,12 @@ class DiTQuantConfig:
     # serving knob: bf16 residual stream halves elementwise HBM traffic;
     # norm statistics stay fp32.  "float32" = reference-parity activations.
     activation_dtype: str = "float32"
+    # producer-side fused LN+modulate+quantize kernel feeding the qkv/fc1
+    # linears.  MEASURED SLOWER at the DiT-XL/2 bench point (1.827 -> 1.784:
+    # XLA already fuses LN/modulate into the residual elementwise passes, so
+    # the kernel only adds in-VMEM transpose work) — kept as an opt-in for
+    # shapes where the XLA chain does materialize.
+    fuse_ln_modulate: bool = False
 
     def block_attn_cfg(self, idx: int,
                        timestep_idx: Optional[int]) -> TopKAttentionConfig:
@@ -188,11 +196,15 @@ def init_dit(key: jax.Array, cfg: DiTConfig) -> Params:
 # ----------------------------------------------------------------------
 def dit_attention(p: Params, x: jax.Array, cfg: DiTConfig,
                   specs: Optional[MxSpecs], attn_cfg: TopKAttentionConfig,
-                  orthogonal_matrix=None) -> jax.Array:
+                  orthogonal_matrix=None, x_prequantized: bool = False
+                  ) -> jax.Array:
     B, N, C = x.shape
     H, D = cfg.num_heads, cfg.head_dim
     mxs = specs if attn_cfg.mx_quant else None
-    qkv = linear(x, p["qkv"]["weight"], p["qkv"].get("bias"), mx_specs=mxs)
+    qkv_specs = mxs.replace(prequantized_activations=True) \
+        if (x_prequantized and mxs is not None) else mxs
+    qkv = linear(x, p["qkv"]["weight"], p["qkv"].get("bias"),
+                 mx_specs=qkv_specs)
     if attn_cfg.out_dtype == "bfloat16":
         # bf16 serving: the relayout copies and the kernel reads move half
         # the bytes (bf16 keeps the full 8-bit MXINT mantissa)
@@ -259,6 +271,24 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
             return h
         return jax.lax.with_sharding_constraint(h, residual_sharding)
 
+    # producer-side fused LN+modulate+quantize (one Pallas pass replacing
+    # the XLA LN/modulate chain AND the consumer linear's input-quantize
+    # kernel); the consumer skips its own quantization via
+    # prequantized_activations.  Serving fast path only.
+    fuse_lnmod = (qcfg.fuse_ln_modulate and specs is not None
+                  and fused_eligible(specs, specs.a_elem_format,
+                                     specs.w_elem_format)
+                  and specs.bfloat == 0
+                  and hs % specs.block_size == 0)
+
+    def _lnmod(x, shift, scale):
+        if not fuse_lnmod:
+            return modulate(_ln(x), shift, scale), False
+        q = ln_modulate_quantize_pallas(
+            x, shift, scale, specs.a_elem_format, specs.block_size,
+            specs.effective_scale_bits())
+        return q, True
+
     def block_body(bp, attn_cfg, x):
         x = _sp(x)
         mxs = specs if attn_cfg.mx_quant else None
@@ -266,13 +296,21 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
                      bp["adaLN"]["bias"]).astype(act_dtype)
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
-        h = modulate(_ln(x), shift_msa, scale_msa)
+        if attn_cfg.mx_quant:
+            h, h_preq = _lnmod(x, shift_msa, scale_msa)
+        else:
+            h, h_preq = modulate(_ln(x), shift_msa, scale_msa), False
         x = x + gate_msa[:, None] * dit_attention(
             bp["attn"], h, cfg, specs, attn_cfg,
-            orthogonal_matrix).astype(act_dtype)
-        h = modulate(_ln(x), shift_mlp, scale_mlp)
+            orthogonal_matrix, x_prequantized=h_preq).astype(act_dtype)
+        if attn_cfg.mx_quant:
+            h, h_preq = _lnmod(x, shift_mlp, scale_mlp)
+        else:
+            h, h_preq = modulate(_ln(x), shift_mlp, scale_mlp), False
+        fc1_specs = mxs.replace(prequantized_activations=True) \
+            if (h_preq and mxs is not None) else mxs
         h = linear(h, bp["mlp"]["fc1"]["weight"], bp["mlp"]["fc1"]["bias"],
-                   mx_specs=mxs).astype(act_dtype)
+                   mx_specs=fc1_specs).astype(act_dtype)
         h = jax.nn.gelu(h, approximate=True)  # reference GELU(tanh)
         h = linear(h, bp["mlp"]["fc2"]["weight"], bp["mlp"]["fc2"]["bias"],
                    mx_specs=mxs).astype(act_dtype)
@@ -287,8 +325,14 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
     mod = linear(jax.nn.silu(c), fl["adaLN"]["weight"], fl["adaLN"]["bias"],
                  mx_specs=mxs)
     shift, scale = jnp.split(mod.astype(act_dtype), 2, axis=-1)
-    x = modulate(_ln(x), shift, scale)
-    x = linear(x, fl["linear"]["weight"], fl["linear"]["bias"], mx_specs=mxs)
+    if mxs is not None:
+        x, x_preq = _lnmod(x, shift, scale)
+    else:
+        x, x_preq = modulate(_ln(x), shift, scale), False
+    fin_specs = mxs.replace(prequantized_activations=True) \
+        if (x_preq and mxs is not None) else mxs
+    x = linear(x, fl["linear"]["weight"], fl["linear"]["bias"],
+               mx_specs=fin_specs)
     x = x.astype(jnp.float32)
 
     # unpatchify

@@ -191,3 +191,81 @@ def mx_quantize_pallas_axis2(x: jax.Array, elem_format: str = "int8",
     if pad:
         out = out[..., :N]
     return out.reshape(orig_shape)
+
+
+def _ln_mod_quant_kernel(x_ref, sh_ref, sc_ref, o_ref, *, block_size, mbits,
+                         scale_bits, out_dtype, eps, ebits, emax, max_norm):
+    """LayerNorm (no affine) + adaLN modulate + MX quantize, one pass.
+
+    x (1, tm, C) -> transpose puts features on SUBLANES, so the LN mean/var
+    are cheap cross-sublane reductions and the MX blocks (along C) need no
+    further layout work; shift/scale arrive as (1, C, 1) per-batch columns.
+    Replaces the XLA LN+modulate chain (2 HBM passes) AND the separate
+    activation-quantize kernel (1 pass) with a single read+write."""
+    xt = x_ref[0].T.astype(jnp.float32)          # (C, tm)
+    C = xt.shape[0]
+    mu = jnp.sum(xt, axis=0, keepdims=True) * (1.0 / C)
+    xc = xt - mu
+    var = jnp.sum(xc * xc, axis=0, keepdims=True) * (1.0 / C)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    y = xn * (1.0 + sc_ref[0].astype(jnp.float32)) \
+        + sh_ref[0].astype(jnp.float32)          # (C,1) broadcast over lanes
+    qt = _quantize_block_values_axis0(y, block_size, mbits, scale_bits,
+                                      out_dtype, ebits, emax, max_norm)
+    o_ref[0] = qt.T
+
+
+@functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
+                                             "scale_bits", "eps",
+                                             "out_dtype", "tile_rows"))
+def ln_modulate_quantize_pallas(x: jax.Array, shift: jax.Array,
+                                scale: jax.Array, elem_format: str = "int8",
+                                block_size: int = 32, scale_bits: int = 8,
+                                eps: float = 1e-6, out_dtype=jnp.bfloat16,
+                                tile_rows: int = 256):
+    """quantize_mx(modulate(LN(x), shift, scale)) along the last axis.
+
+    x: (B, N, C); shift/scale: (B, C) adaLN vectors (DiT models.py:293-296 —
+    the modulation itself stays unquantized, matching the reference; only
+    the RESULT is MX-quantized as the consumer linear's activation).
+    Numerics vs the unfused path: LN statistics accumulate in a different
+    (sublane-tree) order — near-tie quantize flips only.
+    """
+    ebits, mbits, emax, max_norm, _ = format_params(elem_format)
+    B, N, C = x.shape
+    assert C % block_size == 0, (C, block_size)
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        x = x.astype(jnp.float32)
+    shc = shift.reshape(B, C, 1).astype(jnp.float32)
+    scc = scale.reshape(B, C, 1).astype(jnp.float32)
+
+    tm = min(tile_rows, N)
+    while tm > 64 and tm * C * 4 * 4 > (12 << 20):
+        tm //= 2
+    pad = (-N) % tm
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    Npad = N + pad
+
+    out = pl.pallas_call(
+        functools.partial(_ln_mod_quant_kernel, block_size=block_size,
+                          mbits=mbits, scale_bits=scale_bits,
+                          out_dtype=out_dtype, eps=eps, ebits=ebits,
+                          emax=emax, max_norm=max_norm),
+        grid=(B, Npad // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Npad, C), out_dtype),
+        interpret=_use_interpret(),
+    )(x, shc, scc)
+    if pad:
+        out = out[:, :N]
+    return out

@@ -104,7 +104,12 @@ def _linear_fwd_fast(x, w, b, specs):
     sb = specs.effective_scale_bits()
     bf_x = bf_fast(x, specs)
     bf_w = bf_fast(w, specs)
-    qx = quantize_mx_serving(bf_x, specs.a_elem_format, bs, sb, axis=-1)
+    if specs.prequantized_activations:
+        # a producer-side fused kernel (ln_modulate_quantize_pallas) already
+        # put x on the MX grid along -1; re-quantizing is idempotent — skip
+        qx = bf_x.astype(jnp.bfloat16)
+    else:
+        qx = quantize_mx_serving(bf_x, specs.a_elem_format, bs, sb, axis=-1)
     if specs.prequantized_weights:
         qw = w.astype(jnp.bfloat16)  # already on the MX grid
     else:

@@ -98,6 +98,11 @@ class MxSpecs:
     # Weights already sit on the MX grid (reference Linear.prequantize_weights,
     # linear.py:276-304): the forward pass skips weight quantization.
     prequantized_weights: bool = False
+    # Activations already sit on the MX grid along axis -1 (a producer-side
+    # fused kernel quantized them, e.g. ln_modulate_quantize_pallas): the
+    # fast-path linear skips its input quantization.  Only meaningful with
+    # custom_tpu="fused" and bfloat=0.
+    prequantized_activations: bool = False
 
     def __post_init__(self):
         for f in ("w_elem_format", "a_elem_format", "w_elem_format_bp",

@@ -75,13 +75,20 @@ def matmul_roofline(m: int, n: int, k: int, dtype_bytes: int = 2,
     }
 
 
-def parse_trace(trace_dir: str, top: int = 0) -> Dict[str, float]:
+def parse_trace(trace_dir: str, top: int = 0,
+                leaf_only: bool = True) -> Dict[str, float]:
     """Sum device-event durations (us) by op name from a jax.profiler trace
     directory — the no-TensorBoard analysis path used by tools/profile_step
     (works through the remote-relay TPU where XPlane viewers are absent).
 
+    Trace events NEST (jit fn ⊃ while ⊃ cond ⊃ fusions), so summing every
+    event double-counts containers.  ``leaf_only`` (default) keeps only
+    events that contain no other event — their durations tile the device
+    timeline exactly and sum to the true busy time.
+
     Returns {op_name: total_us}, descending; ``top`` truncates.
     """
+    import bisect
     import glob
     import gzip
     import json
@@ -91,10 +98,22 @@ def parse_trace(trace_dir: str, top: int = 0) -> Dict[str, float]:
     for f in glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True):
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") != "X":
-                continue
-            by_name[ev.get("name", "")] += ev.get("dur", 0)
+        evs = [e for e in data.get("traceEvents", []) if e.get("ph") == "X"]
+        if not leaf_only:
+            for ev in evs:
+                by_name[ev.get("name", "")] += ev.get("dur", 0)
+            continue
+        by_track: Dict[tuple, list] = defaultdict(list)
+        for ev in evs:
+            by_track[(ev.get("pid"), ev.get("tid"))].append(ev)
+        for track in by_track.values():
+            track.sort(key=lambda e: e["ts"])
+            starts = [e["ts"] for e in track]
+            for i, ev in enumerate(track):
+                j = bisect.bisect_right(starts, ev["ts"])
+                if ev["dur"] and not (j < len(track)
+                                      and starts[j] < ev["ts"] + ev["dur"]):
+                    by_name[ev.get("name", "")] += ev["dur"]
     items = sorted(by_name.items(), key=lambda kv: -kv[1])
     if top:
         items = items[:top]

@@ -188,3 +188,44 @@ def test_fused_cross_attention_bias_rect_kv():
         out_r, _ = topk_attention(q, k, v, D ** -0.5, REF, cfg, bias=bias)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_ln_modulate_quantize_kernel():
+    """Producer-side fused LN+modulate+MX-quantize matches the unfused
+    composition (dit _ln + modulate + quantize_mx_fast) exactly on CPU."""
+    from mx_quantization_tpu.ops.fastquant import quantize_mx_fast
+    from mx_quantization_tpu.ops.kernels.quantize import \
+        ln_modulate_quantize_pallas
+    B, N, C = 2, 50, 96
+    x = jax.random.normal(jax.random.key(0), (B, N, C), jnp.float32)
+    sh = 0.1 * jax.random.normal(jax.random.key(1), (B, C))
+    sc = 0.1 * jax.random.normal(jax.random.key(2), (B, C))
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    ref = quantize_mx_fast(ln * (1 + sc[:, None]) + sh[:, None],
+                           "int8", 32, 8, axis=-1)
+    out = ln_modulate_quantize_pallas(x, sh, sc)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+def test_prequantized_activations_skips_requantize():
+    """With prequantized_activations the fast-path linear consumes the
+    producer-quantized input unchanged (idempotent semantics)."""
+    specs = finalize_mx_specs(dict(
+        w_elem_format="int8", a_elem_format="int8", scale_bits=8,
+        block_size=32, bfloat=0, quantize_backprop=False,
+        custom_tpu="fused"))
+    from mx_quantization_tpu.ops.fastquant import quantize_mx_fast
+    from mx_quantization_tpu.ops.linear import mx_linear
+    x = jax.random.normal(jax.random.key(3), (8, 64), jnp.float32)
+    w = 0.1 * jax.random.normal(jax.random.key(4), (32, 64), jnp.float32)
+    qx = quantize_mx_fast(x, "int8", 32, 8, axis=-1)
+    out_pre = mx_linear(qx.astype(jnp.float32), w, None,
+                        specs.replace(prequantized_activations=True))
+    out_ref = mx_linear(x, w, None, specs)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_ref),
+                               rtol=1e-6, atol=1e-6)
