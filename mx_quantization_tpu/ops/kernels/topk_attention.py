@@ -379,13 +379,17 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
     eq = keys == kth
     n_gt = jnp.sum(gt.astype(jnp.int32), axis=0, keepdims=True)
     # lowest-index-first tie rank via inclusive lower-triangular matmul:
-    # rank[c, r] = sum_{c' <= c} eq[c', r]
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 1) <=
-           jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    # rank[c, r] = sum_{c' <= c} eq[c', r].  The triangle is generated
+    # TRANSPOSED (tri[c', c] = c' <= c) and contracted over dim 0 so the
+    # (S, S) operand sits in the same streamed matmul position as the old
+    # row-layout kernel — putting it on a plain LHS made Mosaic materialize
+    # all S^2 values and blow scoped VMEM at S=4096 (PixArt-1024).
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
            ).astype(jnp.float32).astype(jnp.bfloat16)
     rank = jax.lax.dot_general(
         tri, eq.astype(jnp.float32).astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     sel = gt | (eq & (rank <= (k - n_gt).astype(jnp.float32)))
 
@@ -611,7 +615,12 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
         # _topk_attn_kernel_tiled).  QT sized so the (QT, Sp) f32 score
         # working set (~6 live arrays) stays within scoped VMEM.
         QT = 256
-        while QT > 64 and QT * Sp * 4 * 6 > (10 << 20):
+        # keep the (QT, Sp)-class f32 working set (~6 live arrays) within
+        # the raised 64MB vmem_limit below; QT must stay >= 128 — the
+        # transposed selection layout puts QT on LANES, and a sub-128 tile
+        # wastes half of every vector op (measured 2007ms vs 1125ms at
+        # PixArt-1024 when QT collapsed to 64)
+        while QT > 128 and QT * Sp * 4 * 6 > (40 << 20):
             QT //= 2
         Np = _round_up(Np, QT)
         if Np != qp.shape[1]:
@@ -647,6 +656,12 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
                 pltpu.VMEM((Dp, Sp), jnp.bfloat16),   # predictor operand
                 pltpu.VMEM((Sp, D), jnp.bfloat16),    # v_q
             ],
+            # the transposed selection pipeline's live set at Sp=4096
+            # (PixArt-1024) slightly exceeds the 16MB default scoped-VMEM
+            # budget; v5e has 128MB of VMEM — raise the cap for this
+            # long-sequence path only
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 << 20),
             interpret=_use_interpret(),
         )(*operands)
     out = out.reshape(B, H, Np, D)

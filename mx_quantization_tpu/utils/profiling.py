@@ -103,6 +103,12 @@ def parse_trace(trace_dir: str, top: int = 0,
             for ev in evs:
                 by_name[ev.get("name", "")] += ev.get("dur", 0)
             continue
+        # events without timestamps (synthetic/partial traces) can't nest —
+        # count them directly
+        for ev in evs:
+            if "ts" not in ev:
+                by_name[ev.get("name", "")] += ev.get("dur", 0)
+        evs = [e for e in evs if "ts" in e]
         by_track: Dict[tuple, list] = defaultdict(list)
         for ev in evs:
             by_track[(ev.get("pid"), ev.get("tid"))].append(ev)
@@ -110,10 +116,11 @@ def parse_trace(trace_dir: str, top: int = 0,
             track.sort(key=lambda e: e["ts"])
             starts = [e["ts"] for e in track]
             for i, ev in enumerate(track):
+                dur = ev.get("dur", 0)
                 j = bisect.bisect_right(starts, ev["ts"])
-                if ev["dur"] and not (j < len(track)
-                                      and starts[j] < ev["ts"] + ev["dur"]):
-                    by_name[ev.get("name", "")] += ev["dur"]
+                if dur and not (j < len(track)
+                                and starts[j] < ev["ts"] + dur):
+                    by_name[ev.get("name", "")] += dur
     items = sorted(by_name.items(), key=lambda kv: -kv[1])
     if top:
         items = items[:top]
