@@ -66,6 +66,18 @@ class TopKAttentionConfig(NamedTuple):
 _KERNEL_PRED_MODES = ("ex_pred", "two_step_leading_ones", "MXINT4",
                       "partial_Q", "partial_K", "true_ex", "threshold_ex")
 
+# elementwise (bfloat) formats the kernel quantization handles: 0 = off,
+# 32 = the fp32 grid (identity on fp32 activations — the DeiT/PixArt
+# operating points), 16 = in-kernel bf16 rounding at every elemwise
+# quantization site (the DiT operating point, sample.py:36-52)
+_KERNEL_BFLOATS = (0, 16, 32)
+
+
+def _kernel_elemwise_args(mx_specs) -> dict:
+    """The fused kernel's elementwise-quantization knobs from the specs."""
+    return dict(bfloat=16 if mx_specs.bfloat == 16 else 0,
+                flush=mx_specs.mx_flush_fp32_subnorms)
+
 
 def predict_scores(q, k, mx_specs: MxSpecs, pred_mode: str,
                    orthogonal_matrix=None):
@@ -150,7 +162,8 @@ def _fused_topk_attention_ad(q, k, v, bias, om, scale, mx_specs, cfg):
         block_size=mx_specs.block_size,
         scale_bits=mx_specs.effective_scale_bits(),
         approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
-        key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype))
+        key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype),
+        **_kernel_elemwise_args(mx_specs))
 
 
 def _fused_ad_fwd(q, k, v, bias, om, scale, mx_specs, cfg):
@@ -175,27 +188,42 @@ def fused_qkv_eligible(mx_specs, cfg: "TopKAttentionConfig", n: int) -> bool:
     qkv projection, short sequence, no bias)?"""
     return (mx_specs is not None and mx_specs.custom_tpu == "fused"
             and cfg.mx_quant and cfg.sparse_impl == "dense" and n <= 512
-            and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
+            and mx_specs.a_elem_format == "int8"
+            and mx_specs.bfloat in _KERNEL_BFLOATS and mx_specs.fp == 0
             and (cfg.pred_mode in _KERNEL_PRED_MODES
                  or not cfg.approx_flag))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def fused_qkv_topk_attention(qkv, num_heads, scale, mx_specs, cfg):
+def _fused_qkv_attention_ad(qkv, num_heads, scale, mx_specs, cfg):
     """(B, N, 3*H*D) fused-qkv activations -> (B, N, H*D): the qkv-direct
-    kernel entry (no q/k/v relayouts), with the XLA-path surrogate VJP."""
+    kernel entry (no q/k/v relayouts), with the XLA-path surrogate VJP.
+    ``cfg`` must already be normalized (top_k=True; dense = k >= N)."""
     from .ops.kernels.topk_attention import fused_topk_attention_qkv
     return fused_topk_attention_qkv(
         qkv, num_heads, k=cfg.k, scale=scale,
         block_size=mx_specs.block_size,
         scale_bits=mx_specs.effective_scale_bits(),
         approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
-        key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype))
+        key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype),
+        **_kernel_elemwise_args(mx_specs))
+
+
+def fused_qkv_topk_attention(qkv, num_heads, scale, mx_specs, cfg):
+    """Public qkv-direct entry.  A cfg with top_k=False (an excluded block
+    or timestep) runs DENSE MX attention: normalize to k = N so the kernel
+    takes its plain masked-softmax branch — without this, excluded blocks
+    silently ran top-cfg.k selection (caught by tests/test_model_golden.py
+    against the torch reference)."""
+    if not cfg.top_k:
+        cfg = cfg._replace(top_k=True, approx_flag=False,
+                           k=int(qkv.shape[1]))
+    return _fused_qkv_attention_ad(qkv, num_heads, scale, mx_specs, cfg)
 
 
 def _fused_qkv_ad_fwd(qkv, num_heads, scale, mx_specs, cfg):
-    return fused_qkv_topk_attention(qkv, num_heads, scale, mx_specs,
-                                    cfg), (qkv,)
+    return _fused_qkv_attention_ad(qkv, num_heads, scale, mx_specs,
+                                   cfg), (qkv,)
 
 
 def _fused_qkv_ad_bwd(num_heads, scale, mx_specs, cfg, res, g):
@@ -214,7 +242,7 @@ def _fused_qkv_ad_bwd(num_heads, scale, mx_specs, cfg, res, g):
     return vjp(g)
 
 
-fused_qkv_topk_attention.defvjp(_fused_qkv_ad_fwd, _fused_qkv_ad_bwd)
+_fused_qkv_attention_ad.defvjp(_fused_qkv_ad_fwd, _fused_qkv_ad_bwd)
 
 
 def topk_attention(
@@ -258,7 +286,8 @@ def topk_attention(
         if (mx_specs.custom_tpu == "fused" and cfg.sparse_impl == "dense"
                 and dense_bias_ok and S <= 4096
                 and mx_specs.a_elem_format == "int8"
-                and mx_specs.bfloat == 0):
+                and mx_specs.bfloat in _KERNEL_BFLOATS
+                and mx_specs.fp == 0):
             dcfg = cfg._replace(top_k=True, approx_flag=False, k=S)
             out = _fused_topk_attention_ad(q, k, v, bias, None, scale,
                                            mx_specs, dcfg)
@@ -297,14 +326,15 @@ def topk_attention(
                (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
                 and bias.shape[0] == q.shape[0]
                 and bias.shape[3] == k.shape[-2]))
-    # ELSA runs in-kernel on the short-sequence path (the hash-bit scratch
-    # layout is not query-tileable); the projection matrix becomes a kernel
-    # operand
-    elsa_kernel_ok = (cfg.pred_mode == "ELSA"
-                      and q.shape[-2] <= 512 and k.shape[-2] <= 512)
+    # ELSA runs in-kernel on both paths: hash bits are per-key/per-query,
+    # so the query-tiled long-sequence kernel caches the K-side bits in
+    # scratch and hashes each query tile in place; the projection matrix
+    # becomes a kernel operand
+    elsa_kernel_ok = cfg.pred_mode == "ELSA"
     if (fused and cfg.sparse_impl == "dense" and bias_ok
             and kernel_fits
-            and mx_specs.a_elem_format == "int8" and mx_specs.bfloat == 0
+            and mx_specs.a_elem_format == "int8"
+            and mx_specs.bfloat in _KERNEL_BFLOATS and mx_specs.fp == 0
             and (cfg.pred_mode in _KERNEL_PRED_MODES
                  or elsa_kernel_ok
                  or not cfg.approx_flag)):

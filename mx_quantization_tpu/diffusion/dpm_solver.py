@@ -58,8 +58,7 @@ class DPMSolverMultistep:
             a, s = self.alpha_t[t_idx], self.sigma_t[t_idx]
             return (x - s * eps) / a
 
-        def call_model(x, t_idx):
-            t = jnp.full((shape[0],), int(t_idx), jnp.float32)
+        def call_model(x, t):
             eps = model(x, t, **model_kwargs)
             if guidance_scale and uncond_kwargs is not None:
                 eps_u = model(x, t, **uncond_kwargs)
@@ -67,12 +66,15 @@ class DPMSolverMultistep:
             return eps
 
         if jit_step:
-            call_model = jax.jit(call_model, static_argnums=(1,))
+            # t arrives as a TRACED (B,) float array: one compile serves
+            # every solver step (was static -> one compile per step)
+            call_model = jax.jit(call_model)
 
         prev_x0 = None
         prev_t = None
         for i, t_idx in enumerate(ts):
-            eps = call_model(x, int(t_idx))
+            eps = call_model(x, jnp.full((shape[0],), float(t_idx),
+                                         jnp.float32))
             x0 = eps_to_x0(x, t_idx, eps)
             s_t = int(ts[i + 1]) if i + 1 < len(ts) else 0
             lam_s, lam_t = self.lambda_t[t_idx], self.lambda_t[s_t]

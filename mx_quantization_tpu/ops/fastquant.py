@@ -33,22 +33,49 @@ def fused_eligible(specs, *fmts) -> bool:
     if any(f not in _INT_FMTS + _FP_FMTS for f in fmts):
         return False
     return (specs.shared_exp_method == "max"
-            and not specs.mx_flush_fp32_subnorms
             and (specs.round_mx_output or "nearest") == "nearest"
             and specs.fp == 0 and specs.bfloat in (0, 16, 32)
             and specs.block_size > 0)
 
 
+def bf16_round_half_away(x: jax.Array) -> jax.Array:
+    """Round f32 to the bfloat16 grid with round="nearest" (half-away-from-
+    zero) — BIT-EXACT with the emulation's quantize_elemwise_op(bfloat=16).
+
+    bf16 is the top 16 bits of f32, so: add 0x8000 to the magnitude bits
+    (rounds half-ulp ties away from zero, carrying into the exponent exactly
+    like the shift-round-shift reference scheme, cpp/quantize.cuh:31-56) and
+    truncate.  Overflow carries to Inf (saturate_normals=False contract);
+    Inf/NaN pass through.  Three fused VPU int ops — same cost class as the
+    hardware RNE cast it replaces, without the tie-class divergence.
+    """
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    mag = b & 0x7FFFFFFF
+    rounded = (mag + 0x8000) & ~0xFFFF
+    out_mag = jnp.where(mag >= 0x7F800000, mag, rounded)  # Inf/NaN keep
+    out = out_mag | (b & jnp.int32(-2147483648))
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+
 def bf_fast(x, specs):
-    """Fast elementwise format: bfloat16 -> RNE cast; 0/32 -> identity."""
+    """Fast elementwise format: bfloat16 -> exact half-away round; 0/32 ->
+    identity.
+
+    bfloat=32 is 1s+8e+23m — exactly the fp32 grid, so quantizing an fp32
+    tensor to it is the identity (the reference DeiT/PixArt operating points,
+    deit main.py:716-736 / text_local_inference_alpha.py:108-124, both use
+    bfloat=32).  bfloat=16 (the DiT operating point, sample.py:36-52) uses
+    the bit-exact half-away rounding above."""
     if specs.bfloat == 16:
-        return x.astype(jnp.bfloat16).astype(x.dtype)
+        if x.dtype == jnp.bfloat16:
+            return x  # already on the bf16 grid
+        return bf16_round_half_away(x).astype(x.dtype)
     return x
 
 
 def quantize_mx_fast(x: jax.Array, elem_format: str, block_size: int,
                      scale_bits: int = 8, axis: int = -1,
-                     out_dtype=jnp.bfloat16) -> jax.Array:
+                     out_dtype=jnp.bfloat16, flush: bool = False) -> jax.Array:
     """MX fake-quantize along ``axis`` (last or any), float-domain.
 
     Returns the quantized values in ``out_dtype`` (bf16 exact for int grids).
@@ -70,6 +97,12 @@ def quantize_mx_fast(x: jax.Array, elem_format: str, block_size: int,
 
     bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
     mb = jnp.max(bits, axis=baxis, keepdims=True)
+    if flush:
+        # mx_flush_fp32_subnorms: zero out blocks whose max |x| is an fp32
+        # subnormal (mx_ops.py:282-283 semantics; the PixArt-alpha operating
+        # point).  mb < 2^23 covers exactly the subnormal-max blocks; the
+        # all-zero block it also matches is already zero.
+        xb = jnp.where(mb >= 0x00800000, xb, jnp.zeros_like(xb))
     e = (mb >> 23) - 127 - emax  # shared exp offset by elem emax (fp fmts)
     scale_emax = 2 ** (scale_bits - 1) - 1
     e = jnp.clip(e, -scale_emax, scale_emax)
@@ -123,7 +156,8 @@ def _elemwise_grid_round(scaled, ebits, mbits, max_norm):
 
 def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
                         scale_bits: int = 8, axis: int = -1,
-                        out_dtype=jnp.bfloat16) -> jax.Array:
+                        out_dtype=jnp.bfloat16, flush: bool = False
+                        ) -> jax.Array:
     """Serving-path MX quantize: route to the one-pass Pallas kernel on TPU.
 
     The XLA lowering of the blocked reshape (quantize_mx_fast) costs ~7x the
@@ -138,6 +172,6 @@ def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
             and jax.default_backend() == "tpu" and x.size >= (1 << 16)):
         from .kernels.quantize import mx_quantize_pallas
         return mx_quantize_pallas(x, elem_format, block_size, scale_bits,
-                                  out_dtype=out_dtype)
+                                  out_dtype=out_dtype, flush=flush)
     return quantize_mx_fast(x, elem_format, block_size, scale_bits,
-                            axis=axis, out_dtype=out_dtype)
+                            axis=axis, out_dtype=out_dtype, flush=flush)

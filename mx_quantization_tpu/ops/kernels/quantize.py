@@ -38,7 +38,8 @@ def _use_interpret() -> bool:
 def _quantize_block_values_axis0(x, block_size: int, mbits: int,
                                  scale_bits: int, out_dtype,
                                  ebits: int = 0, emax: int = 0,
-                                 max_norm: float = 0.0):
+                                 max_norm: float = 0.0,
+                                 flush: bool = False):
     """Same as _quantize_block_values but blocks along axis 0 of a 2D x
     (K, N) — the layout of the second matmul operand.  Avoids an in-kernel
     transpose.  ebits == 0: int grid; ebits > 0: MXFP grid (private
@@ -50,6 +51,10 @@ def _quantize_block_values_axis0(x, block_size: int, mbits: int,
 
     bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
     mb = jnp.max(bits, axis=1, keepdims=True)
+    if flush:
+        # mx_flush_fp32_subnorms: zero blocks whose max |x| is fp32-subnormal
+        # (mx_ops.py:282-283; the PixArt-alpha operating point)
+        xb = jnp.where(mb >= 0x00800000, xb, jnp.zeros_like(xb))
     e = (mb >> 23) - 127 - emax
     scale_emax = 2 ** (scale_bits - 1) - 1
     e = jnp.clip(e, -scale_emax, scale_emax)
@@ -84,20 +89,21 @@ def _quantize_block_values_axis0(x, block_size: int, mbits: int,
 
 
 def _quantize_kernel(x_ref, o_ref, *, block_size, mbits, scale_bits,
-                     out_dtype, ebits, emax, max_norm):
+                     out_dtype, ebits, emax, max_norm, flush):
     # transpose so K blocks land on sublanes (see layout note above)
     qt = _quantize_block_values_axis0(x_ref[:].T, block_size, mbits,
                                       scale_bits, out_dtype, ebits, emax,
-                                      max_norm)
+                                      max_norm, flush)
     o_ref[:] = qt.T
 
 
 @functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
                                              "scale_bits", "out_dtype",
-                                             "tile_rows"))
+                                             "tile_rows", "flush"))
 def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
                        block_size: int = 32, scale_bits: int = 8,
-                       out_dtype=jnp.bfloat16, tile_rows: int = 256):
+                       out_dtype=jnp.bfloat16, tile_rows: int = 256,
+                       flush: bool = False):
     """Quantize x along its last axis to the MX grid (values, not packed).
 
     x: (..., K) fp32/bf16, K % block_size == 0.  Returns same shape in
@@ -129,7 +135,7 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
         functools.partial(_quantize_kernel, block_size=block_size,
                           mbits=mbits, scale_bits=scale_bits,
                           out_dtype=out_dtype, ebits=ebits, emax=emax,
-                          max_norm=max_norm),
+                          max_norm=max_norm, flush=flush),
         grid=((M + pad) // tm,),
         in_specs=[pl.BlockSpec((tm, K), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -144,18 +150,19 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
 
 
 def _quantize_kernel_axis0(x_ref, o_ref, *, block_size, mbits, scale_bits,
-                           out_dtype, ebits, emax, max_norm):
+                           out_dtype, ebits, emax, max_norm, flush):
     o_ref[:] = _quantize_block_values_axis0(x_ref[:], block_size, mbits,
                                             scale_bits, out_dtype, ebits,
-                                            emax, max_norm)
+                                            emax, max_norm, flush)
 
 
 @functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
                                              "scale_bits", "out_dtype",
-                                             "tile_cols"))
+                                             "tile_cols", "flush"))
 def mx_quantize_pallas_axis2(x: jax.Array, elem_format: str = "int8",
                              block_size: int = 32, scale_bits: int = 8,
-                             out_dtype=jnp.bfloat16, tile_cols: int = 512):
+                             out_dtype=jnp.bfloat16, tile_cols: int = 512,
+                             flush: bool = False):
     """Quantize x along its SECOND-TO-LAST axis (the matmul 'aa' second
     operand contract, reference matmul.py:76-83).
 
@@ -177,7 +184,7 @@ def mx_quantize_pallas_axis2(x: jax.Array, elem_format: str = "int8",
             functools.partial(_quantize_kernel_axis0, block_size=block_size,
                               mbits=mbits, scale_bits=scale_bits,
                               out_dtype=out_dtype, ebits=ebits, emax=emax,
-                              max_norm=max_norm),
+                              max_norm=max_norm, flush=flush),
             grid=((N + pad) // tn,),
             in_specs=[pl.BlockSpec((K, tn), lambda j: (0, j),
                                    memory_space=pltpu.VMEM)],

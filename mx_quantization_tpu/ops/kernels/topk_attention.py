@@ -47,16 +47,35 @@ _IMIN = -2147483648  # python int: pallas kernels must not capture traced consts
 _ELSA_THETA = 0.127  # ELSA angle bias (predictors/elsa.py THETA_BIAS)
 
 
-def _quant_axis0(x, block_size, mbits, scale_bits):
+def _bf16_round(x):
+    """Round f32 to the bf16 grid, round="nearest" (half-away): the
+    in-kernel bfloat=16 elementwise quantization point (the DiT operating
+    point, sample.py:36-52).  Bit-exact with the emulation and the fast-path
+    linears' bf16_round_half_away (ops/fastquant.py): add 0x8000 to the
+    magnitude bits (ties carry away from zero), truncate; Inf/NaN keep."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    mag = b & 0x7FFFFFFF
+    rounded = (mag + 0x8000) & ~0xFFFF
+    out_mag = jnp.where(mag >= 0x7F800000, mag, rounded)
+    out = out_mag | (b & jnp.int32(_IMIN))
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+
+def _quant_axis0(x, block_size, mbits, scale_bits, flush=False):
     """MX-quantize 2D x (K, N) with blocks along axis 0 (sublanes).
 
     Returns (values bf16, block exponents (K//bs, N) int32).
+    flush=True zeroes blocks whose max |x| is fp32-subnormal
+    (mx_flush_fp32_subnorms, mx_ops.py:282-283 — the PixArt-alpha
+    operating point).
     """
     K, N = x.shape
     nb = K // block_size
     xb = x.reshape(nb, block_size, N)
     bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
     mb = jnp.max(bits, axis=1, keepdims=True)
+    if flush:
+        xb = jnp.where(mb >= 0x00800000, xb, jnp.zeros_like(xb))
     e = (mb >> 23) - 127
     scale_emax = 2 ** (scale_bits - 1) - 1
     e = jnp.clip(e, -scale_emax, scale_emax)
@@ -186,7 +205,7 @@ def _mono_keys(x):
 
 def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
                       s_valid, d_valid, approx, pred_mode, key_bits, cells,
-                      out_dtype, has_bias):
+                      out_dtype, has_bias, bfloat, flush):
     """``cells`` (batch*head) cells per grid step; q (cells, N, D),
     k/v (cells, S, D), optional bias (cells, 1, S), out (cells, N, D).
 
@@ -210,12 +229,13 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
                   block_size=block_size, mbits=mbits, scale_bits=scale_bits,
                   k=k, scale=scale, s_valid=s_valid, d_valid=d_valid,
                   approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-                  out_dtype=out_dtype,
+                  out_dtype=out_dtype, bfloat=bfloat, flush=flush,
                   proj_mat=None if p_ref is None else p_ref[:])
 
 
 def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
-               pred_mode="ex_pred", side="q", proj=None):
+               pred_mode="ex_pred", side="q", proj=None, bfloat=0,
+               flush=False):
     """(n, D) tile -> transposed quantized operand (Dp, n) bf16 and, when
     ``approx``, the exp-sign predictor operand (Dp, n) bf16.
 
@@ -225,10 +245,15 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
     n, D = x_nd.shape
     Dp = _round_up(max(d_valid, 8), block_size)
     xt = x_nd.T.astype(jnp.float32)
+    if bfloat == 16:
+        # bfloat=16 elementwise quantization of the operand before the MX
+        # quantize (the fast-path linears' bf_fast contract; identity when
+        # the operand already arrived bf16)
+        xt = _bf16_round(xt)
     if Dp - D:
         xt = jnp.concatenate(
             [xt, jnp.zeros((Dp - D, n), jnp.float32)], axis=0)
-    vals, exps = _quant_axis0(xt, block_size, mbits, scale_bits)
+    vals, exps = _quant_axis0(xt, block_size, mbits, scale_bits, flush)
     if not approx:
         return vals, None
     if pred_mode == "ELSA":
@@ -249,7 +274,7 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
     if pred_mode == "MXINT4":
         # Sanger: requantize the ORIGINAL side to MXINT4 (the library
         # quantizes self.Q/self.K, not the int8 values); zeros stay zero
-        v4, _ = _quant_axis0(xt, block_size, 4, scale_bits)
+        v4, _ = _quant_axis0(xt, block_size, 4, scale_bits, flush)
         return vals, v4
     if ((pred_mode == "partial_K" and side == "k")
             or (pred_mode == "partial_Q" and side == "q")):
@@ -276,23 +301,28 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
 
 def _one_cell(q_nd, k_nd, v_nd, bias_col, o_ref, c, *, block_size, mbits,
               scale_bits, k, scale, s_valid, d_valid, approx, pred_mode,
-              key_bits, out_dtype, proj_mat=None):
+              key_bits, out_dtype, proj_mat=None, bfloat=0, flush=False):
     qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx,
-                        pred_mode, side="q", proj=proj_mat)
+                        pred_mode, side="q", proj=proj_mat, bfloat=bfloat,
+                        flush=flush)
     kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, d_valid, approx,
-                        pred_mode, side="k", proj=proj_mat)
-    v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
-                          scale_bits)
+                        pred_mode, side="k", proj=proj_mat, bfloat=bfloat,
+                        flush=flush)
+    v32 = v_nd.astype(jnp.float32)
+    if bfloat == 16:
+        v32 = _bf16_round(v32)
+    v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush)
     o_ref[c] = _score_select_output(
         qv, aq, kv, ak, v_q, bias_col, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
-        approx=approx, pred_mode=pred_mode,
-        key_bits=key_bits).astype(out_dtype)
+        approx=approx, pred_mode=pred_mode, key_bits=key_bits,
+        bfloat=bfloat, flush=flush).astype(out_dtype)
 
 
 def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
                          mbits, scale_bits, k, scale, s_valid, approx,
-                         key_bits, pred_mode="ex_pred"):
+                         key_bits, pred_mode="ex_pred", bfloat=0,
+                         flush=False):
     """Quantized operands (Dp, N)/(Dp, S) + v_q (S, D) -> attention (N, D)
     f32: true/pred scores, exact top-k selection, masked softmax, PV.
 
@@ -311,7 +341,12 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
 
     dn = (((0,), (0,)), ((), ()))
     s_true = jax.lax.dot_general(kv, qv, dn,
-                                 preferred_element_type=jnp.float32) * scale
+                                 preferred_element_type=jnp.float32)
+    if bfloat == 16:
+        # the emulation rounds the matmul OUTPUT to bf16 before the external
+        # *scale (attention.py true_scores = matmul(...)*scale)
+        s_true = _bf16_round(s_true)
+    s_true = s_true * scale
     if bias_col is not None:
         # additive attention bias/mask, one column per cell, added to BOTH
         # the true and predicted scores (MX_transformer_block.py:794-820)
@@ -350,9 +385,12 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
         m = jnp.max(masked, axis=0, keepdims=True)
         e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
         attn_t = e / jnp.sum(e, axis=0, keepdims=True)
-        at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits)
-        return jax.lax.dot_general(at_q, v_q, dn,
-                                   preferred_element_type=jnp.float32)
+        if bfloat == 16:
+            attn_t = _bf16_round(attn_t)
+        at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits, flush)
+        out = jax.lax.dot_general(at_q, v_q, dn,
+                                  preferred_element_type=jnp.float32)
+        return _bf16_round(out) if bfloat == 16 else out
 
     keys = _mono_keys(s_sel)
     if key_bits == 16:
@@ -397,53 +435,66 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
     m = jnp.max(masked, axis=0, keepdims=True)
     e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
     attn_t = e / jnp.sum(e, axis=0, keepdims=True)
+    if bfloat == 16:
+        attn_t = _bf16_round(attn_t)
 
     # attn (S, N) already has the PV blocks on sublanes — no transpose
-    at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits)
-    return jax.lax.dot_general(at_q, v_q, dn,
-                               preferred_element_type=jnp.float32)
+    at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits, flush)
+    out = jax.lax.dot_general(at_q, v_q, dn,
+                              preferred_element_type=jnp.float32)
+    return _bf16_round(out) if bfloat == 16 else out
 
 
 def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
                             s_valid, d_valid, approx, pred_mode, key_bits,
-                            out_dtype, has_bias):
+                            out_dtype, has_bias, bfloat, flush):
     """Query-tiled variant for long sequences (N > 512): grid (G, N/QT);
     each step attends one query tile against the FULL key/value set.  The
     quantized K side (kv, predictor operand, v_q) is computed once per cell
     at tile 0 and cached in VMEM scratch across the query tiles — the TPU
-    grid is sequential, so the scratch persists."""
+    grid is sequential, so the scratch persists.  For pred_mode="ELSA" the
+    K-side scratch holds the +-1 hash bits (bits, Sp) and each query tile
+    hashes in place (hash bits are per-key/per-query, so they tile)."""
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    i = 3
+    b_ref = p_ref = None
     if has_bias:
-        q_ref, k_ref, v_ref, b_ref = refs[:4]
-        o_ref, kv_s, ak_s, vq_s = refs[4:]
-    else:
-        q_ref, k_ref, v_ref = refs[:3]
-        o_ref, kv_s, ak_s, vq_s = refs[3:]
-        b_ref = None
+        b_ref = refs[i]; i += 1
+    if pred_mode == "ELSA":
+        p_ref = refs[i]; i += 1
+    o_ref, kv_s, ak_s, vq_s = refs[i:]
+
+    proj = None if p_ref is None else p_ref[:]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         kv, ak = _prep_side(k_ref[0], block_size, mbits, scale_bits,
-                            d_valid, approx, pred_mode, side="k")
+                            d_valid, approx, pred_mode, side="k",
+                            proj=proj, bfloat=bfloat, flush=flush)
         kv_s[:] = kv
         if approx:
             ak_s[:] = ak
-        vq, _ = _quant_axis0(v_ref[0].astype(jnp.float32), block_size,
-                             mbits, scale_bits)
+        v32 = v_ref[0].astype(jnp.float32)
+        if bfloat == 16:
+            v32 = _bf16_round(v32)
+        vq, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush)
         vq_s[:] = vq
 
     qv, aq = _prep_side(q_ref[0], block_size, mbits, scale_bits, d_valid,
-                        approx, pred_mode, side="q")
+                        approx, pred_mode, side="q", proj=proj,
+                        bfloat=bfloat, flush=flush)
     bias_col = None if b_ref is None else b_ref[0]
     o_ref[0] = _score_select_output(
         qv, aq, kv_s[:], ak_s[:] if approx else None, vq_s[:], bias_col,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
         scale=scale, s_valid=s_valid, approx=approx, pred_mode=pred_mode,
-        key_bits=key_bits).astype(out_dtype)
+        key_bits=key_bits, bfloat=bfloat, flush=flush).astype(out_dtype)
 
 
 def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
                      mbits, scale_bits, k, scale, s_valid, approx, pred_mode,
-                     key_bits, out_dtype):
+                     key_bits, out_dtype, bfloat, flush):
     """One batch row per grid step: x (1, Np, 3*H*D) is the fused qkv
     linear output (feature order (3, H, D)); all H heads are attended
     in-VMEM and the output is written proj-ready as (1, Np, H*D) — no
@@ -456,16 +507,18 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
         k_nd = x[:, (H + h) * D:(H + h + 1) * D]
         v_nd = x[:, (2 * H + h) * D:(2 * H + h + 1) * D]
         qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, D, approx,
-                            pred_mode, side="q")
+                            pred_mode, side="q", bfloat=bfloat, flush=flush)
         kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, D, approx,
-                            pred_mode, side="k")
-        v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), block_size, mbits,
-                              scale_bits)
+                            pred_mode, side="k", bfloat=bfloat, flush=flush)
+        v32 = v_nd.astype(jnp.float32)
+        if bfloat == 16:
+            v32 = _bf16_round(v32)
+        v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush)
         outs.append(_score_select_output(
             qv, aq, kv, ak, v_q, None, block_size=block_size, mbits=mbits,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
-            approx=approx, pred_mode=pred_mode,
-            key_bits=key_bits).astype(out_dtype))
+            approx=approx, pred_mode=pred_mode, key_bits=key_bits,
+            bfloat=bfloat, flush=flush).astype(out_dtype))
     o_ref[0] = jnp.concatenate(outs, axis=1)
 
 
@@ -473,12 +526,13 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
                                              "block_size", "mbits",
                                              "scale_bits", "approx",
                                              "pred_mode", "key_bits",
-                                             "out_dtype"))
+                                             "out_dtype", "bfloat", "flush"))
 def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
                              block_size: int = 32, mbits: int = 8,
                              scale_bits: int = 8, approx: bool = True,
                              pred_mode: str = "ex_pred",
-                             key_bits: int = 32, out_dtype=jnp.float32):
+                             key_bits: int = 32, out_dtype=jnp.float32,
+                             bfloat: int = 0, flush: bool = False):
     """(B, N, 3*H*D) fused-qkv activations -> (B, N, H*D) attention output.
 
     Self-attention fast path for models with a single fused qkv projection
@@ -497,7 +551,7 @@ def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
         _qkv_attn_kernel, num_heads=H, head_dim=D, block_size=block_size,
         mbits=mbits, scale_bits=scale_bits, k=k, scale=scale, s_valid=N,
         approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-        out_dtype=out_dtype)
+        out_dtype=out_dtype, bfloat=bfloat, flush=flush)
     out = pl.pallas_call(
         kern,
         grid=(B,),
@@ -525,13 +579,14 @@ def _use_interpret() -> bool:
 @functools.partial(jax.jit, static_argnames=("k", "scale", "block_size",
                                              "mbits", "scale_bits", "approx",
                                              "pred_mode", "key_bits",
-                                             "out_dtype"))
+                                             "out_dtype", "bfloat", "flush"))
 def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
                          scale: float,
                          block_size: int = 32, mbits: int = 8,
                          scale_bits: int = 8, approx: bool = True,
                          pred_mode: str = "ex_pred",
-                         key_bits: int = 32, out_dtype=jnp.float32):
+                         key_bits: int = 32, out_dtype=jnp.float32,
+                         bfloat: int = 0, flush: bool = False):
     """(B, H, N, D) q x (B, H, S, D) k/v -> (B, H, N, D) in ``out_dtype``.
 
     approx=True selects by the predictor given by pred_mode; False by the
@@ -569,9 +624,11 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
     elsa = approx and pred_mode == "ELSA"
     if elsa and proj is None:
         raise ValueError("pred_mode='ELSA' needs the projection matrix")
-    if elsa and not (Np <= 512 and Sp <= 512):
-        raise NotImplementedError(
-            "ELSA is kernel-eligible on the short-sequence path only")
+    if elsa:
+        bits = proj.shape[0]
+        Dp_e = _round_up(max(D, 8), block_size)
+        pmat = jnp.pad(proj.astype(jnp.float32),
+                       ((0, 0), (0, Dp_e - proj.shape[1])))
     if Np <= 512 and Sp <= 512:
         cells = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
         operands = [qp, kp, vp]
@@ -589,18 +646,15 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
                                          lambda g: (g, 0, 0),
                                          memory_space=pltpu.VMEM))
         if elsa:
-            bits = proj.shape[0]
-            Dp = _round_up(max(D, 8), block_size)
-            pmat = jnp.pad(proj.astype(jnp.float32),
-                           ((0, 0), (0, Dp - proj.shape[1])))
             operands.append(pmat)
-            in_specs.append(pl.BlockSpec((bits, Dp), lambda g: (0, 0),
+            in_specs.append(pl.BlockSpec((bits, Dp_e), lambda g: (0, 0),
                                          memory_space=pltpu.VMEM))
         kern = functools.partial(
             _topk_attn_kernel, block_size=block_size, mbits=mbits,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
             approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-            cells=cells, out_dtype=out_dtype, has_bias=brow is not None)
+            cells=cells, out_dtype=out_dtype, has_bias=brow is not None,
+            bfloat=bfloat, flush=flush)
         out = pl.pallas_call(
             kern,
             grid=(G // cells,),
@@ -639,11 +693,16 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
             operands.append(brow)
             in_specs.append(pl.BlockSpec((1, Sp, 1), lambda g, t: (g, 0, 0),
                                          memory_space=pltpu.VMEM))
+        if elsa:
+            operands.append(pmat)
+            in_specs.append(pl.BlockSpec((bits, Dp_e), lambda g, t: (0, 0),
+                                         memory_space=pltpu.VMEM))
         kern = functools.partial(
             _topk_attn_kernel_tiled, block_size=block_size, mbits=mbits,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
             approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-            out_dtype=out_dtype, has_bias=brow is not None)
+            out_dtype=out_dtype, has_bias=brow is not None,
+            bfloat=bfloat, flush=flush)
         out = pl.pallas_call(
             kern,
             grid=(G, Np // QT),
@@ -653,7 +712,9 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
             out_shape=jax.ShapeDtypeStruct((G, Np, D), out_dtype),
             scratch_shapes=[
                 pltpu.VMEM((Dp, Sp), jnp.bfloat16),   # kv
-                pltpu.VMEM((Dp, Sp), jnp.bfloat16),   # predictor operand
+                # predictor operand: +-1 hash bits for ELSA, else the
+                # exponent-family operand aligned with kv
+                pltpu.VMEM(((bits if elsa else Dp), Sp), jnp.bfloat16),
                 pltpu.VMEM((Sp, D), jnp.bfloat16),    # v_q
             ],
             # the transposed selection pipeline's live set at Sp=4096

@@ -102,6 +102,7 @@ def _linear_fwd_fast(x, w, b, specs):
     the int-format operating points."""
     bs = specs.block_size
     sb = specs.effective_scale_bits()
+    fl = specs.mx_flush_fp32_subnorms
     bf_x = bf_fast(x, specs)
     bf_w = bf_fast(w, specs)
     if specs.prequantized_activations:
@@ -109,11 +110,13 @@ def _linear_fwd_fast(x, w, b, specs):
         # put x on the MX grid along -1; re-quantizing is idempotent — skip
         qx = bf_x.astype(jnp.bfloat16)
     else:
-        qx = quantize_mx_serving(bf_x, specs.a_elem_format, bs, sb, axis=-1)
+        qx = quantize_mx_serving(bf_x, specs.a_elem_format, bs, sb, axis=-1,
+                                 flush=fl)
     if specs.prequantized_weights:
         qw = w.astype(jnp.bfloat16)  # already on the MX grid
     else:
-        qw = quantize_mx_fast(bf_w, specs.w_elem_format, bs, sb, axis=-1)
+        qw = quantize_mx_fast(bf_w, specs.w_elem_format, bs, sb, axis=-1,
+                              flush=fl)
     out = jnp.matmul(qx, qw.T, preferred_element_type=jnp.float32)
     out = bf_fast(out, specs)
     if b is not None:
@@ -218,10 +221,11 @@ def _matmul_fwd(a, b, specs, mode_config):
 def _matmul_fwd_fast(a, b, specs, fmt1, fmt2):
     bs = specs.block_size
     sb = specs.effective_scale_bits()
+    fl = specs.mx_flush_fp32_subnorms
     bf_a = bf_fast(a, specs)
     bf_b = bf_fast(b, specs)
-    qa = quantize_mx_serving(bf_a, fmt1, bs, sb, axis=-1)
-    qb = quantize_mx_fast(bf_b, fmt2, bs, sb, axis=-2)
+    qa = quantize_mx_serving(bf_a, fmt1, bs, sb, axis=-1, flush=fl)
+    qb = quantize_mx_fast(bf_b, fmt2, bs, sb, axis=-2, flush=fl)
     out = jnp.matmul(qa, qb, preferred_element_type=jnp.float32)
     out = bf_fast(out, specs)
     saved = (bf_a, bf_b) if specs.quantize_backprop else (a, b)

@@ -30,14 +30,14 @@ def _conv_transpose(x, w, stride, padding, groups):
                         2 * pads[i] + w.shape[2 + i]
                         for i in range(n_sp))
     out_shape = (N, cout) + out_spatial
-    if groups != 1:
-        raise NotImplementedError("grouped transpose conv")
     # conv_transpose(x, w) == input-vjp of the conv g: (N, Cout, H', W') ->
     # (N, Cin, H, W) whose OIHW weight is exactly torch's transpose-conv
-    # layout (Cin, Cout, kh, kw): O = Cin, I = Cout.
+    # layout (Cin, Cout/groups, kh, kw): O = Cin, I = Cout/groups — this
+    # holds for grouped convs too (torch ConvTranspose2d groups contract,
+    # reference transpose_convolution.py:18).
     w_conv = w
     zeros = jnp.zeros(out_shape, x.dtype)
-    _, vjp = jax.vjp(lambda o: _conv(o, w_conv, stride, padding, 1, 1),
+    _, vjp = jax.vjp(lambda o: _conv(o, w_conv, stride, padding, 1, groups),
                      zeros)
     (out,) = vjp(x)
     return out

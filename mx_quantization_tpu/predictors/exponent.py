@@ -69,8 +69,9 @@ class ExponentApproximation:
             if fused_eligible(mx_specs, fmt):
                 return quantize_mx_fast(
                     bf_fast(x, mx_specs), fmt, bs,
-                    mx_specs.effective_scale_bits(),
-                    axis=-1).astype(jnp.float32)
+                    mx_specs.effective_scale_bits(), axis=-1,
+                    flush=mx_specs.mx_flush_fp32_subnorms
+                ).astype(jnp.float32)
             return quantize_mx_op(
                 quantize_elemwise_op(x, mx_specs, round=mx_specs.round_output),
                 mx_specs, elem_format=fmt, axes=[-1],

@@ -85,8 +85,10 @@ def prequantize_weights(params, specs: MxSpecs,
         p = _path_str(path)
         if x.ndim >= 2 and pattern.search(p) and not _UNQUANTIZED_RE.search(p):
             if specs.custom_tpu == "fused":
-                return quantize_mx_fast(x, fmt, bs, sb, axis=-1,
-                                        out_dtype=q_dtype)
+                from ..ops.fastquant import bf_fast
+                return quantize_mx_fast(bf_fast(x, specs), fmt, bs, sb,
+                                        axis=-1, out_dtype=q_dtype,
+                                        flush=specs.mx_flush_fp32_subnorms)
             return quantize_mx(
                 x, sb, fmt, axes=[-1], block_size=bs,
                 shared_exp_method=specs.shared_exp_method,

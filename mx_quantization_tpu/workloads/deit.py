@@ -34,12 +34,14 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def default_mx_specs(custom_tpu: str = "fused") -> MxSpecs:
-    """The DeiT workload's hardcoded specs (main.py:716-736): MXINT8 w/a,
-    scale 8, block 32, no elementwise quantization, inference only."""
+    """The DeiT workload's EXACT hardcoded specs (reference deit
+    main.py:716-736): MXINT8 w/a, scale 8, block 32, bfloat=32 elementwise
+    (the fp32 grid — identity on fp32 activations), inference only."""
     return finalize_mx_specs(dict(
         w_elem_format="int8", a_elem_format="int8", scale_bits=8,
-        block_size=32, bfloat=0, round="nearest", quantize_backprop=False,
-        custom_tpu=custom_tpu))
+        shared_exp_method="max", block_size=32, bfloat=32, fp=0,
+        round="nearest", mx_flush_fp32_subnorms=False,
+        quantize_backprop=False, custom_tpu=custom_tpu))
 
 
 def accuracy_counts(logits: jax.Array, labels: jax.Array

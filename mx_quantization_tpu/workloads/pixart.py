@@ -31,7 +31,19 @@ from ..diffusion import DPMSolverMultistep
 from ..models.pixart import (PixArtConfig, PixArtQuantConfig, init_pixart,
                              pixart_forward)
 from ..predictors.elsa import create_structured_orthogonal_matrix
-from .deit import default_mx_specs
+from ..specs import MxSpecs, finalize_mx_specs as _finalize
+
+
+def pixart_mx_specs(custom_tpu: str = "fused") -> MxSpecs:
+    """The PixArt-alpha workload's EXACT hardcoded specs (reference
+    text_local_inference_alpha.py:108-124): MXINT8 w/a, scale 8, block 32,
+    bfloat=32 (the fp32 grid — identity), **mx_flush_fp32_subnorms=True**,
+    inference only."""
+    return _finalize(dict(
+        w_elem_format="int8", a_elem_format="int8", scale_bits=8,
+        shared_exp_method="max", block_size=32, bfloat=32, fp=0,
+        round="nearest", mx_flush_fp32_subnorms=True,
+        quantize_backprop=False, custom_tpu=custom_tpu))
 
 
 def encode_prompts_t5(prompts: List[str], t5_path: str, max_length: int = 120
@@ -63,17 +75,37 @@ def sample_pixart(params, cfg: PixArtConfig, qcfg: PixArtQuantConfig,
     latent = cfg.sample_size
     solver = DPMSolverMultistep()
 
-    nm = jnp.ones_like(prompt_mask[:1])
     null = jnp.broadcast_to(null_embeds, prompt_embeds.shape)
+    # CFG doubling: cond batch then null batch, ONE model call per step
+    ctx2 = jnp.concatenate([prompt_embeds, null], axis=0)
+    mask2 = jnp.concatenate(
+        [prompt_mask, jnp.ones_like(prompt_mask)], axis=0)
 
-    step_counter = {"i": 0}
+    # ONE jitted CFG step with the timestep TRACED (two jits when
+    # exclude_timesteps partitions the schedule) — the driver compiles
+    # once and reuses it for all num_steps solver steps.
+    excluded = set(qcfg.exclude_timesteps)
 
-    def eps_model(x, t, ctx, mask, step_idx):
-        out = pixart_forward(params, x, ctx, t, cfg, qcfg,
-                             encoder_attention_mask=mask,
-                             timestep_idx=step_idx,
-                             orthogonal_matrix=orthogonal_matrix)
-        return out[:, : cfg.in_channels]  # drop learned-variance channels
+    # params/context are EXPLICIT jit arguments (closing over them would
+    # bake the full weight set into the compiled HLO as constants)
+    def make_step(is_excluded: bool):
+        tsi = next(iter(excluded)) if is_excluded else None
+
+        @jax.jit
+        def cfg_eps(params, x, t, ctx2, mask2):
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            out = pixart_forward(params, x2, ctx2, t2, cfg, qcfg,
+                                 encoder_attention_mask=mask2,
+                                 timestep_idx=tsi,
+                                 orthogonal_matrix=orthogonal_matrix)
+            eps2 = out[:, : cfg.in_channels]  # drop learned-variance chans
+            eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+            return eps_u + guidance_scale * (eps_c - eps_u)
+        return cfg_eps
+
+    step_inc = make_step(False)
+    step_exc = make_step(True) if excluded else None
 
     x = jax.random.normal(key, (n, cfg.in_channels, latent, latent))
     ts = solver.timesteps(num_steps)
@@ -81,10 +113,8 @@ def sample_pixart(params, cfg: PixArtConfig, qcfg: PixArtQuantConfig,
     prev_t = None
     for si, t_idx in enumerate(ts):
         t = jnp.full((n,), float(t_idx))
-        eps_c = eps_model(x, t, prompt_embeds, prompt_mask, si)
-        eps_u = eps_model(x, t, null, jnp.broadcast_to(nm, prompt_mask.shape),
-                          si)
-        eps = eps_u + guidance_scale * (eps_c - eps_u)
+        step = step_exc if si in excluded else step_inc
+        eps = step(params, x, t, ctx2, mask2)
 
         a, sg = solver.alpha_t[t_idx], solver.sigma_t[t_idx]
         x0 = (x - sg * eps) / a
@@ -150,7 +180,7 @@ def main(argv=None):
                        micro_conds=False if args.variant == "sigma" else None)
     tok_len = args.max_token_length or (300 if args.variant == "sigma"
                                         else 120)
-    specs = default_mx_specs(args.engine) if args.mx_quant else None
+    specs = pixart_mx_specs(args.engine) if args.mx_quant else None
     qcfg = PixArtQuantConfig(
         mx_specs=specs, mx_quant=args.mx_quant,
         self_top_k=args.self_top_k, self_k=args.self_k,

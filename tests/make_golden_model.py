@@ -1,0 +1,203 @@
+"""Generate FULL-MODEL golden outputs from the reference torch DiT.
+
+Imports the reference's own model code (/root/reference/workloads/DiT/
+models.py) — MX Linear/matmul + funcs predictors + the top-k attention
+flow — at debug scale with shared random weights, and records end-to-end
+forward outputs per pred_mode at the EXACT DiT operating point
+(sample.py:36-52: MXINT8, scale 8, block 32, bfloat=16).
+
+tests/test_model_golden.py replays the saved state_dict through our
+checkpoint converter and compares dit_forward on both engines against
+these outputs — the strongest available accuracy proxy while the real
+checkpoints/datasets are absent from this environment (round-1 verdict
+missing #1/#4).
+
+Shims (the reference environment is not installed here):
+  * timm.models.vision_transformer.PatchEmbed / timm.layers.helpers
+    .to_2tuple — minimal local stand-ins with identical semantics
+  * funcs — the reference package hardcodes the author's paths
+    (funcs/__init__.py:3-4); loaded from source with its broken
+    exponent_based_sign (funcs/exponent_based_prediction.py:85 NameError)
+    replaced by the WORKING examples/deit copy, per SURVEY "known
+    reference bugs to not replicate"
+
+Usage: python tests/make_golden_model.py   (requires /root/reference)
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference"
+sys.path.insert(0, os.path.join(REF, "microxscaling"))
+
+import torch  # noqa: E402
+import torch.nn as nn  # noqa: E402
+from mx.specs import finalize_mx_specs as ref_finalize  # noqa: E402
+
+OUT_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load_module(path, name, package_stubs=()):
+    for stub in package_stubs:
+        if stub not in sys.modules:
+            m = types.ModuleType(stub)
+            m.write_data = lambda *a, **k: None
+            sys.modules[stub] = m
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ---- timm shim -------------------------------------------------------
+def to_2tuple(x):
+    return x if isinstance(x, tuple) else (x, x)
+
+
+class PatchEmbed(nn.Module):
+    """timm PatchEmbed semantics: strided conv, flatten, (N, T, D)."""
+
+    def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                 embed_dim=768, bias=True):
+        super().__init__()
+        self.patch_size = to_2tuple(patch_size)
+        self.num_patches = (img_size // patch_size) ** 2
+        self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                              stride=patch_size, bias=bias)
+
+    def forward(self, x):
+        return self.proj(x).flatten(2).transpose(1, 2)
+
+
+for name in ("timm", "timm.models", "timm.models.vision_transformer",
+             "timm.layers", "timm.layers.helpers"):
+    if name not in sys.modules:
+        sys.modules[name] = types.ModuleType(name)
+sys.modules["timm.models.vision_transformer"].PatchEmbed = PatchEmbed
+sys.modules["timm.layers.helpers"].to_2tuple = to_2tuple
+
+# ---- funcs shim ------------------------------------------------------
+pred_deit = _load_module(
+    os.path.join(REF,
+                 "microxscaling/examples/deit/exponent_based_prediction.py"),
+    "ref_pred_deit")
+pred_funcs = _load_module(
+    os.path.join(REF, "funcs/exponent_based_prediction.py"),
+    "ref_pred_funcs", package_stubs=["funcs", "funcs.utils"])
+elsa_funcs = _load_module(
+    os.path.join(REF, "funcs/elsa_approximation.py"), "ref_elsa")
+
+
+class _FixedExponentApproximation(pred_funcs.exponent_approximation):
+    """funcs.exponent_approximation with the broken exponent_based_sign
+    (:85 NameError) replaced by the working examples/deit implementation."""
+
+    def exponent_based_sign(self):
+        return pred_deit.exponent_approximation(
+            self.Q, self.K, self.mx_specs).exponent_based_sign()
+
+
+funcs_mod = sys.modules["funcs"]
+funcs_mod.exponent_approximation = _FixedExponentApproximation
+funcs_mod.elsa_approximation = elsa_funcs.elsa_approximation
+funcs_mod._create_structured_orthogonal_matrix = \
+    elsa_funcs._create_structured_orthogonal_matrix
+for noop in ("save_idx_file", "diff_idx_analysis", "save_diff_score_file",
+             "total_chosen_k"):
+    setattr(funcs_mod, noop, lambda *a, **k: 0.0)
+
+ref_models = _load_module(
+    os.path.join(REF, "workloads/DiT/models.py"), "ref_dit_models")
+
+# ---- deterministic tie-break ----------------------------------------
+# torch.topk's ordering of EQUAL scores is unspecified (and in practice
+# not lowest-index-first); the exponent-family predictors produce scores
+# that are sums of +-2^e terms, so k-th-boundary ties are common and a
+# single tie flip cascades through the remaining blocks.  Tie-equivalent
+# selections carry identical predictor score mass (equal quality), so the
+# golden pins the reference algorithm to the DETERMINISTIC lowest-index-
+# first order — exactly jax.lax.top_k's documented semantics.
+_orig_topk = torch.topk
+
+
+def _stable_topk(x, k, dim=-1, largest=True, sorted=True):
+    assert dim in (-1, x.ndim - 1) and largest
+    idx = torch.argsort(-x, dim=-1, stable=True)[..., :k]
+    return x.gather(-1, idx), idx
+
+# the EXACT DiT operating point (sample.py:36-52), CUDA off
+DIT_SPECS = ref_finalize({
+    "w_elem_format": "int8", "a_elem_format": "int8", "scale_bits": 8,
+    "shared_exp_method": "max", "block_size": 32, "bfloat": 16, "fp": 0,
+    "bfloat_subnorms": True, "round": "nearest",
+    "round_mx_output": "nearest", "round_output": "nearest",
+    "round_weight": "nearest", "mx_flush_fp32_subnorms": False,
+    "custom_cuda": False, "quantize_backprop": False,
+})
+
+MODEL_KW = dict(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+                depth=2, num_heads=2, num_classes=10)
+
+
+def build(mx_quant=True, top_k=True, ex_pred=True, pred_mode="ex_pred"):
+    torch.manual_seed(0)
+    m = ref_models.DiT(mx_quant=mx_quant,
+                       mx_specs=DIT_SPECS if mx_quant else None,
+                       top_k=top_k, k=8, ex_pred=ex_pred,
+                       pred_mode=pred_mode, exclude_blocks=[1],
+                       exclude_timesteps=[], **MODEL_KW)
+    # initialize_weights zeroes adaLN modulations and the final projection
+    # (identity blocks, zero output) — randomize EVERY parameter from a
+    # fixed seed so the golden exercises real numerics end to end
+    g = torch.Generator().manual_seed(42)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(0.1 * torch.randn(p.shape, generator=g))
+    m.eval()
+    return m
+
+
+def main():
+    rng = np.random.RandomState(1)
+    x = torch.tensor(rng.randn(2, 4, 8, 8).astype(np.float32))
+    t = torch.tensor(np.array([999.0, 500.0], np.float32))
+    y = torch.tensor(np.array([3, 7], np.int64))
+
+    save = {"x": x.numpy(), "t": t.numpy(), "y": y.numpy()}
+
+    sd_path = os.path.join(OUT_DIR, "dit_model_sd.pt")
+    modes = ["ex_pred", "two_step_leading_ones", "MXINT4", "partial_Q",
+             "partial_K"]
+    torch.topk = _stable_topk  # lowest-index tie order (see note above)
+    with torch.no_grad():
+        for mode in modes:
+            m = build(pred_mode=mode)
+            save[f"out_{mode}"] = m(x, t, y).numpy()
+            print(mode, float(np.abs(save[f"out_{mode}"]).mean()))
+        # true-score top-k (approx off), dense MX, and unquantized
+        m = build(ex_pred=False)
+        save["out_true_topk"] = m(x, t, y).numpy()
+        m = build(top_k=False, ex_pred=False)
+        save["out_dense"] = m(x, t, y).numpy()
+        m = build(mx_quant=False, top_k=False, ex_pred=False)
+        save["out_fp"] = m(x, t, y).numpy()
+        # CFG forward (3-channel guidance contract, models.py:452-476)
+        m = build()
+        x4 = torch.cat([x, x], 0)
+        t4 = torch.cat([t, t], 0)
+        y4 = torch.tensor(np.array([3, 7, 10, 10], np.int64))
+        save["out_cfg"] = m.forward_with_cfg(x4, t4, y4, 4.0).numpy()
+        # persist the weights LAST (same seed in every build)
+        torch.save(m.state_dict(), sd_path)
+
+    np.savez_compressed(os.path.join(OUT_DIR, "dit_model.npz"), **save)
+    print("wrote dit_model.npz +", sd_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -204,6 +204,34 @@ def test_conv_transpose2d():
     assert np.abs(np.asarray(qout) - np.asarray(out)).max() < 0.05
 
 
+def test_conv_transpose2d_grouped():
+    """Grouped ConvTranspose2d vs torch (reference
+    transpose_convolution.py supports groups via torch's contract)."""
+    import torch
+    from mx_quantization_tpu.ops import conv_transpose2d
+    rng = np.random.RandomState(66)
+    for groups, cin, cout in [(2, 6, 8), (3, 6, 9)]:
+        x = rng.randn(2, cin, 5, 5).astype(np.float32)
+        w = rng.randn(cin, cout // groups, 3, 3).astype(np.float32)
+        b = rng.randn(cout).astype(np.float32)
+        want = torch.nn.functional.conv_transpose2d(
+            torch.tensor(x), torch.tensor(w), torch.tensor(b),
+            stride=2, padding=1, groups=groups).numpy()
+        got = np.asarray(conv_transpose2d(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride=2,
+            padding=1, groups=groups, mx_specs=None))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        # quantized + grad paths run
+        qout = conv_transpose2d(jnp.asarray(x), jnp.asarray(w),
+                                jnp.asarray(b), stride=2, padding=1,
+                                groups=groups, mx_specs=BF16)
+        assert np.abs(np.asarray(qout) - got).max() < 0.1
+        g = jax.grad(lambda xx: jnp.sum(conv_transpose2d(
+            xx, jnp.asarray(w), jnp.asarray(b), stride=2, padding=1,
+            groups=groups, mx_specs=BF16) ** 2))(jnp.asarray(x))
+        assert g.shape == x.shape and bool(jnp.isfinite(g).all())
+
+
 def test_finite_difference_gradcheck():
     """Finite-difference gradient check of the quantized ops with
     quantization off (reference tests/test_gradcheck.py:26-50 strategy:

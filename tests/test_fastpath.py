@@ -76,10 +76,16 @@ def test_fused_eligibility_gates():
     assert not fused_eligible(REF, "int8", "int8")
     assert fused_eligible(FUSED, "fp8_e4m3", "int8")  # MXFP fast path
     assert not fused_eligible(FUSED, "fp16", "int8")
-    flushy = FUSED.replace(mx_flush_fp32_subnorms=True)
-    assert not fused_eligible(flushy, "int8", "int8")
+    # the PixArt-alpha operating point (flush_fp32_subnorms=True) and the
+    # DiT operating point (bfloat=16) are both fast-path eligible
+    assert fused_eligible(FUSED.replace(mx_flush_fp32_subnorms=True),
+                          "int8", "int8")
+    assert fused_eligible(FUSED.replace(bfloat=16), "int8", "int8")
+    assert not fused_eligible(FUSED.replace(bfloat=12), "int8", "int8")
+    assert not fused_eligible(FUSED.replace(fp=16, bfloat=0), "int8", "int8")
 
 
+@pytest.mark.slow
 def test_attention_fused_equals_ref():
     from mx_quantization_tpu.attention import (TopKAttentionConfig,
                                                topk_attention)
@@ -140,6 +146,7 @@ def test_quantize_mx_serving_dispatch():
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+@pytest.mark.slow
 def test_fused_attention_kernel_is_differentiable():
     """Training through the fused Pallas attention must not fail and must
     produce the XLA fused path's gradients (the surrogate-VJP contract).
@@ -165,6 +172,7 @@ def test_fused_attention_kernel_is_differentiable():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_cross_attention_bias_rect_kv():
     """Rectangular kv + additive key-mask bias routes to the fused kernel
     and matches the reference emulation (the PixArt cross-attention

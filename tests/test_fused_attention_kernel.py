@@ -38,6 +38,7 @@ def _xla_reference(q, k, v, kk, scale, approx=True, pred_mode="ex_pred"):
     ((1, 2, 128, 64), 16),     # aligned
     ((1, 2, 100, 72), 20),     # DiT-like head dim, padded N
 ])
+@pytest.mark.slow
 @pytest.mark.parametrize("approx", [True, False])
 def test_fused_kernel_matches_xla_path(shape, kk, approx):
     q = rand(*shape, seed=1)
@@ -74,6 +75,7 @@ def test_fused_kernel_via_topk_attention_dispatch():
     ((1, 2, 128, 64), 16),
     ((1, 2, 100, 72), 20),     # DiT-like head dim, padded N
 ])
+@pytest.mark.slow
 def test_fused_kernel_predictor_modes(shape, kk, pred_mode):
     """Every exponent-family predictor inside the kernel == the XLA fused
     path."""
@@ -88,6 +90,7 @@ def test_fused_kernel_predictor_modes(shape, kk, pred_mode):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_kernel_two_step_long_sequence():
     """two_step through the query-tiled kernel (N > 512)."""
     from mx_quantization_tpu.attention import topk_attention, _xla_topk_dense
@@ -155,6 +158,7 @@ def test_key_bits_8_selection_mask_semantics():
     np.testing.assert_allclose(out8, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_kernel_query_tiled_long_sequence():
     """N > 512 routes to the query-tiled kernel (K side cached in scratch)
     and matches the XLA fused path row-for-row."""
@@ -181,6 +185,7 @@ def test_fused_kernel_query_tiled_long_sequence():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_qkv_entry_matches_split_entry():
     """fused_topk_attention_qkv (qkv-direct layout) == fused_topk_attention
     on split q/k/v, values and gradients."""
@@ -213,6 +218,7 @@ def test_fused_qkv_entry_matches_split_entry():
     assert g1.shape == qkv.shape and bool(jnp.isfinite(g1).all())
 
 
+@pytest.mark.slow
 def test_fused_kernel_elsa_predictor():
     """ELSA (sign-projection hashing) inside the kernel == the XLA path:
     same hash bits, hamming-angle scores, key-norm weighting."""
@@ -257,3 +263,29 @@ def test_fused_kernel_dense_no_topk():
     ref = matmul(attn, v, mx_specs=FUSED, mode_config="aa")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_kernel_elsa_long_sequence():
+    """ELSA through the query-tiled kernel (N > 512): the K-side hash bits
+    cache in scratch and each query tile hashes in place (round-1 verdict
+    missing #5 — PixArt-1024 ELSA fell off the kernel)."""
+    from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                               _xla_topk_dense,
+                                               topk_attention)
+    from mx_quantization_tpu.predictors.elsa import \
+        create_structured_orthogonal_matrix
+    rng = np.random.RandomState(7)
+    for N, D in [(576, 64), (544, 72)]:   # DiT-style and PixArt head dims
+        q = jnp.asarray(rng.randn(1, 1, N, D).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 1, N, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 1, N, D).astype(np.float32))
+        om = jnp.asarray(create_structured_orthogonal_matrix(D))
+        cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=40,
+                                  approx_flag=True, pred_mode="ELSA")
+        out_f, idx = topk_attention(q, k, v, D ** -0.5, FUSED, cfg,
+                                    orthogonal_matrix=om)
+        assert idx is None, "did not take the kernel"
+        ref = _xla_topk_dense(q, k, v, D ** -0.5, FUSED, cfg, None, om)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)

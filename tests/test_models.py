@@ -21,6 +21,7 @@ TINY_VIT = VitConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
                      num_heads=2, num_classes=10)
 
 
+@pytest.mark.slow
 def test_vit_forward_fp32():
     params = init_vit(jax.random.key(0), TINY_VIT)
     x = jax.random.normal(jax.random.key(1), (2, 3, 32, 32))
@@ -30,6 +31,7 @@ def test_vit_forward_fp32():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_vit_forward_quantized_topk_close_to_fp():
     params = init_vit(jax.random.key(0), TINY_VIT)
     x = jax.random.normal(jax.random.key(1), (2, 3, 32, 32))
@@ -63,6 +65,7 @@ TINY_DIT = DiTConfig(input_size=8, patch_size=2, in_channels=4,
                      hidden_size=64, depth=2, num_heads=2, num_classes=10)
 
 
+@pytest.mark.slow
 def test_dit_forward_and_cfg():
     params = init_dit(jax.random.key(0), TINY_DIT)
     x = jax.random.normal(jax.random.key(1), (2, 4, 8, 8))
@@ -75,6 +78,7 @@ def test_dit_forward_and_cfg():
     assert out_cfg.shape == (2, 8, 8, 8)
 
 
+@pytest.mark.slow
 def test_dit_quantized_topk():
     params = init_dit(jax.random.key(0), TINY_DIT)
     x = jax.random.normal(jax.random.key(1), (2, 4, 8, 8))

@@ -55,6 +55,7 @@ def test_linear_int8_close_to_fp():
     assert rel < 0.05, rel  # int8 block quant keeps ~2 decimal digits
 
 
+@pytest.mark.slow
 def test_linear_grad_noquant_backprop():
     # quantize_backprop=False: gradients equal exact-linear gradients of the
     # saved unquantized tensors (reference linear.py:105-206 with bp None)
@@ -72,6 +73,7 @@ def test_linear_grad_noquant_backprop():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_matmul_modes_and_bmm():
     a, b = rand(2, 4, 16, 64, seed=6), rand(2, 4, 64, 16, seed=7)
     for mode in ("aa", "aw", "wa"):
@@ -171,6 +173,7 @@ def test_elsa_orthogonal_matrix():
         np.testing.assert_allclose(m @ m.T, np.eye(d), atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("impl", ["dense", "gather"])
 def test_topk_attention(impl):
     q = rand(2, 4, 32, 64, seed=19)
@@ -192,6 +195,7 @@ def test_topk_attention(impl):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_topk_attention_elsa_and_bias():
     q = rand(1, 2, 16, 64, seed=22)
     k = rand(1, 2, 10, 64, seed=23)
@@ -246,6 +250,7 @@ def test_simd_split():
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_lstm_stack_matches_torch():
     """Multi-layer bidirectional LSTM (unquantized) == torch.nn.LSTM with
     the same weights (the reference module's configuration space,
@@ -290,6 +295,7 @@ def test_lstm_stack_matches_torch():
     assert np.isfinite(np.asarray(qo)).all()
 
 
+@pytest.mark.slow
 def test_topk_attention_mxfp_activations():
     """MXFP activation formats route through the XLA attention path (the
     fused kernel gates int8) and match the emulation engine."""

@@ -30,6 +30,7 @@ def test_pixart_fp_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_pixart_quantized_topk_with_mask():
     params = init_pixart(jax.random.key(0), TINY)
     x = jax.random.normal(jax.random.key(1), (2, 4, 8, 8))
@@ -63,6 +64,7 @@ def test_pixart_gating_rules():
     assert c.top_k and c.approx_flag
 
 
+@pytest.mark.slow
 def test_pixart_micro_conditioning():
     """alpha-1024 micro-conds: resolution/aspect embeddings change the
     output; sigma (micro_conds=False) ignores them."""
@@ -98,6 +100,7 @@ def test_pixart_micro_conditioning():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_pixart_true_ex_mode():
     params = init_pixart(jax.random.key(0), TINY)
     x = jax.random.normal(jax.random.key(1), (1, 4, 8, 8))

@@ -41,6 +41,7 @@ def _tiny_dit():
     return cfg, params
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("custom_tpu", ["fused", None])
 def test_dit_prequantize_identity(custom_tpu):
     specs = finalize_mx_specs(dict(SPECS, custom_tpu=custom_tpu))

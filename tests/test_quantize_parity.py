@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from mx_quantization_tpu.ops import (quantize_bfloat, quantize_elemwise,
                                      quantize_fp, quantize_mx)
 
+pytestmark = pytest.mark.slow  # heavy sweep module: fast lane skips it
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 elem_npz = np.load(os.path.join(GOLDEN, "elemwise.npz"))

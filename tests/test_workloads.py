@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_deit_eval_main_synthetic(capsys):
     from mx_quantization_tpu.workloads.deit import main
     stats = main(["--model", "deit_tiny_patch16_224", "--batch-size", "8",
@@ -19,6 +20,7 @@ def test_deit_eval_main_synthetic(capsys):
     assert 0.0 <= stats["acc1"] <= 1.0 and stats["n"] == 8
 
 
+@pytest.mark.slow
 def test_dit_sample_main_synthetic(tmp_path):
     from mx_quantization_tpu.workloads.dit import main
     out = str(tmp_path / "s.npz")
@@ -29,6 +31,7 @@ def test_dit_sample_main_synthetic(tmp_path):
     assert z["latents"].shape == (2, 4, 8, 8)
 
 
+@pytest.mark.slow
 def test_dit_train_smoke():
     from mx_quantization_tpu.workloads.dit_train import main
     # batch must divide over the data mesh axis (8 virtual devices in tests)
@@ -36,6 +39,7 @@ def test_dit_train_smoke():
           "--image-size", "32"])
 
 
+@pytest.mark.slow
 def test_pixart_main_synthetic(tmp_path):
     from mx_quantization_tpu.workloads.pixart import main
     out = str(tmp_path / "p.npz")
@@ -46,6 +50,7 @@ def test_pixart_main_synthetic(tmp_path):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_pixart_main_sigma_variant(tmp_path):
     """Sigma driver: 300-token captions, micro-conds off
     (text_local_inference_sigma.py operating point, scaled down)."""
@@ -110,6 +115,7 @@ def test_fid_sharded_resume():
     assert c.shape == (1, 4, 8, 8)
 
 
+@pytest.mark.slow
 def test_deit_anal_mode(tmp_path, capsys):
     """--anal writes per-block predictor-quality records (reference deit
     main.py --anal + funcs/analysis.py:136-157)."""
@@ -126,6 +132,7 @@ def test_deit_anal_mode(tmp_path, capsys):
     assert all(16 <= r["avg_chosen_k"] <= 197 for r in recs)
 
 
+@pytest.mark.slow
 def test_dit_anal_mode(tmp_path):
     """--anal during sampling writes per-(timestep, block) records."""
     from mx_quantization_tpu.workloads.dit import main
@@ -143,6 +150,7 @@ def test_dit_anal_mode(tmp_path):
     assert all(r["block"] == 0 for r in recs)
 
 
+@pytest.mark.slow
 def test_inject_full_surface():
     """The ambient-context wrapper surface mirrors the reference's
     MODULE_MAPPING + FUNCTION_MAPPING union (mx_mapping.py:68-122)."""

@@ -12,6 +12,9 @@ from mx_quantization_tpu.models.zoo import (CaitConfig, Deit3Config,
                                             deit3_forward, init_cait,
                                             init_deit3, init_resmlp,
                                             resmlp_forward)
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep module: fast lane skips it
 
 SPECS = finalize_mx_specs(dict(
     w_elem_format="int8", a_elem_format="int8", scale_bits=8, block_size=32,
