@@ -185,7 +185,16 @@ _fused_topk_attention_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
 
 def fused_qkv_eligible(mx_specs, cfg: "TopKAttentionConfig", n: int) -> bool:
     """Can self-attention run on the qkv-direct kernel entry (one fused
-    qkv projection, short sequence, no bias)?"""
+    qkv projection, short sequence, no bias)?
+
+    Under an ambient mesh with a model axis the SPLIT entry is used
+    instead: the qkv entry can only batch-shard (its feature axis
+    interleaves (3, H, D) groups), while the split entry head-shards —
+    the proper tensor-parallel attention layout."""
+    from .ops.kernels.topk_attention import _ambient_mesh
+    mesh = _ambient_mesh()
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        return False
     return (mx_specs is not None and mx_specs.custom_tpu == "fused"
             and cfg.mx_quant and cfg.sparse_impl == "dense" and n <= 512
             and mx_specs.a_elem_format == "int8"

@@ -26,6 +26,38 @@ _FP_FMTS = ("fp8_e5m2", "fp8_e4m3", "fp6_e3m2", "fp6_e2m3", "fp4_e2m1",
             "fp4")
 
 
+def mesh_auto_axes(m) -> dict:
+    """Axis name -> size for the mesh axes NOT already manual (inside a
+    shard_map every mapped axis is Manual — re-mapping them is an error)."""
+    try:
+        types = m.axis_types
+        return {n: m.shape[n] for n, t in zip(m.axis_names, types)
+                if "Manual" not in str(t)}
+    except AttributeError:
+        return dict(m.shape)
+
+
+def ambient_mesh():
+    """The mesh set via jax.set_mesh / jax.sharding.use_mesh (None when
+    unset, single-device, or fully inside a shard_map manual region).
+    Mosaic kernels cannot be auto-partitioned by GSPMD — under a
+    multi-device mesh the Pallas fast paths either shard_map themselves
+    (the attention kernel) or fall back to the XLA-partitionable
+    formulation (the quantize kernel).  MULTI-CHIP CONTRACT: run sharded
+    steps under ``with jax.set_mesh(mesh)`` so the kernels can see the
+    mesh at trace time."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except AttributeError:
+        return None
+    if m is None or getattr(m, "empty", False) or m.size <= 1:
+        return None
+    auto = mesh_auto_axes(m)
+    if not auto or all(v <= 1 for v in auto.values()):
+        return None
+    return m
+
+
 def fused_eligible(specs, *fmts) -> bool:
     """Can these specs take the fast path for the given element formats?"""
     if specs is None or specs.custom_tpu != "fused":
@@ -169,7 +201,8 @@ def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
     axis = axis % x.ndim
     K = x.shape[axis]
     if (axis == x.ndim - 1 and K % block_size == 0
-            and jax.default_backend() == "tpu" and x.size >= (1 << 16)):
+            and jax.default_backend() == "tpu" and x.size >= (1 << 16)
+            and ambient_mesh() is None):
         from .kernels.quantize import mx_quantize_pallas
         return mx_quantize_pallas(x, elem_format, block_size, scale_bits,
                                   out_dtype=out_dtype, flush=flush)

@@ -7,4 +7,3 @@ prologue — no fake-quantized copies ever round-trip HBM.
 """
 
 from .quantize import mx_quantize_pallas
-from .mx_matmul import mx_matmul_pallas

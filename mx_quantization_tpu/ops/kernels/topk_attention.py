@@ -522,17 +522,12 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
     o_ref[0] = jnp.concatenate(outs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "k", "scale",
-                                             "block_size", "mbits",
-                                             "scale_bits", "approx",
-                                             "pred_mode", "key_bits",
-                                             "out_dtype", "bfloat", "flush"))
-def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
-                             block_size: int = 32, mbits: int = 8,
-                             scale_bits: int = 8, approx: bool = True,
-                             pred_mode: str = "ex_pred",
-                             key_bits: int = 32, out_dtype=jnp.float32,
-                             bfloat: int = 0, flush: bool = False):
+def _qkv_impl(qkv, num_heads: int = 0, *, k: int, scale: float,
+              block_size: int = 32, mbits: int = 8,
+              scale_bits: int = 8, approx: bool = True,
+              pred_mode: str = "ex_pred",
+              key_bits: int = 32, out_dtype=jnp.float32,
+              bfloat: int = 0, flush: bool = False):
     """(B, N, 3*H*D) fused-qkv activations -> (B, N, H*D) attention output.
 
     Self-attention fast path for models with a single fused qkv projection
@@ -576,17 +571,13 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("k", "scale", "block_size",
-                                             "mbits", "scale_bits", "approx",
-                                             "pred_mode", "key_bits",
-                                             "out_dtype", "bfloat", "flush"))
-def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
-                         scale: float,
-                         block_size: int = 32, mbits: int = 8,
-                         scale_bits: int = 8, approx: bool = True,
-                         pred_mode: str = "ex_pred",
-                         key_bits: int = 32, out_dtype=jnp.float32,
-                         bfloat: int = 0, flush: bool = False):
+def _split_impl(q, k_, v, bias=None, proj=None, *, k: int,
+                scale: float,
+                block_size: int = 32, mbits: int = 8,
+                scale_bits: int = 8, approx: bool = True,
+                pred_mode: str = "ex_pred",
+                key_bits: int = 32, out_dtype=jnp.float32,
+                bfloat: int = 0, flush: bool = False):
     """(B, H, N, D) q x (B, H, S, D) k/v -> (B, H, N, D) in ``out_dtype``.
 
     approx=True selects by the predictor given by pred_mode; False by the
@@ -729,3 +720,110 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
     if Np != N:
         out = out[:, :, :N]
     return out
+
+
+# ----------------------------------------------------------------------
+# SPMD execution of the Pallas entries.
+#
+# Mosaic kernels cannot be auto-partitioned by GSPMD, and
+# custom_partitioning cannot host them either — the sanctioned route is
+# shard_map (discovered by AOT-compiling the TP-sharded DiT step against a
+# v5e:2x2 topology; the CPU-mesh dryrun masks it because interpret-mode
+# Pallas lowers to ordinary partitionable HLO).  The kernel is
+# embarrassingly parallel over (batch, heads), so under an ambient mesh
+# (jax.set_mesh) the entries shard_map themselves: batch over the "data"
+# axis, heads over the "model" axis (exactly the head-parallel TP layout —
+# the row-parallel proj consumes the head-sharded output with no gather).
+# Axes that don't divide fall back to replicated execution inside the
+# manual region (correct, redundant compute).
+# ----------------------------------------------------------------------
+
+
+from ..fastquant import ambient_mesh as _ambient_mesh  # noqa: E402
+
+
+def _axis_for(mesh, name, dim_size):
+    from ..fastquant import mesh_auto_axes
+    auto = mesh_auto_axes(mesh)
+    if name in auto and auto[name] > 1 and dim_size % auto[name] == 0:
+        return name
+    return None
+
+
+def _shard_mapped(fn, mesh, in_specs, out_specs):
+    import jax as _jax
+    try:
+        return _jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+    except TypeError:  # older kwarg name
+        return _jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
+
+
+def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
+                         scale: float,
+                         block_size: int = 32, mbits: int = 8,
+                         scale_bits: int = 8, approx: bool = True,
+                         pred_mode: str = "ex_pred",
+                         key_bits: int = 32, out_dtype=jnp.float32,
+                         bfloat: int = 0, flush: bool = False):
+    """Public split-q/k/v entry — see _split_impl for the math.  Under an
+    ambient mesh the call shard_maps over (data -> batch, model -> heads);
+    single-device it calls the kernel directly."""
+    impl = functools.partial(
+        _split_impl, k=k, scale=scale, block_size=block_size, mbits=mbits,
+        scale_bits=scale_bits, approx=approx, pred_mode=pred_mode,
+        key_bits=key_bits, out_dtype=out_dtype, bfloat=bfloat, flush=flush)
+    mesh = _ambient_mesh()
+    if mesh is None:
+        return impl(q, k_, v, bias, proj)
+
+    from jax.sharding import PartitionSpec as P
+    db = _axis_for(mesh, "data", q.shape[0])
+    mh = _axis_for(mesh, "model", q.shape[1])
+    qkv_spec = P(db, mh, None, None)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    ops = [q, k_, v]
+    if bias is not None:
+        in_specs.append(P(db, None, None, None))
+        ops.append(bias)
+    if proj is not None:
+        in_specs.append(P(None, None))
+        ops.append(proj)
+
+    def local(*local_ops):
+        lq, lk, lv = local_ops[:3]
+        i = 3
+        lb = lp = None
+        if bias is not None:
+            lb = local_ops[i]; i += 1
+        if proj is not None:
+            lp = local_ops[i]
+        return impl(lq, lk, lv, lb, lp)
+
+    return _shard_mapped(local, mesh, tuple(in_specs), qkv_spec)(*ops)
+
+
+def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
+                             block_size: int = 32, mbits: int = 8,
+                             scale_bits: int = 8, approx: bool = True,
+                             pred_mode: str = "ex_pred",
+                             key_bits: int = 32, out_dtype=jnp.float32,
+                             bfloat: int = 0, flush: bool = False):
+    """Public qkv-direct entry — see _qkv_impl.  Under an ambient mesh it
+    shard_maps over batch only (the fused-qkv feature axis interleaves
+    (3, H, D) groups, so head sharding does not apply here; model-parallel
+    callers should use the split entry — fused_qkv_eligible enforces
+    this)."""
+    impl = functools.partial(
+        _qkv_impl, num_heads=num_heads, k=k, scale=scale,
+        block_size=block_size, mbits=mbits, scale_bits=scale_bits,
+        approx=approx, pred_mode=pred_mode, key_bits=key_bits,
+        out_dtype=out_dtype, bfloat=bfloat, flush=flush)
+    mesh = _ambient_mesh()
+    if mesh is None:
+        return impl(qkv)
+    from jax.sharding import PartitionSpec as P
+    db = _axis_for(mesh, "data", qkv.shape[0])
+    spec = P(db, None, None)
+    return _shard_mapped(impl, mesh, (spec,), spec)(qkv)

@@ -15,6 +15,7 @@ from .mesh import (
     shard_params_fsdp,
     shard_vit_params_tp,
     shard_dit_params_tp,
+    tp_param_specs,
 )
 from .distributed import initialize_distributed
 from .pipeline import pipeline_blocks

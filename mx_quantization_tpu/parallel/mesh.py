@@ -96,17 +96,30 @@ def _path_str(path) -> str:
     return ".".join(parts)
 
 
+def _rule_spec(mesh, path, x, rule_fn) -> P:
+    spec = rule_fn(_path_str(path), x)
+    # guard per axis: drop shardings whose dimension doesn't divide
+    fixed = [
+        name if (name is None or x.shape[axis] % mesh.shape[name] == 0)
+        else None
+        for axis, name in enumerate(spec)
+    ]
+    return P(*fixed) if fixed else P()
+
+
 def _shard_with_rules(mesh, params, rule_fn):
     def put(path, x):
-        spec = rule_fn(_path_str(path), x)
-        # guard per axis: drop shardings whose dimension doesn't divide
-        fixed = [
-            name if (name is None or x.shape[axis] % mesh.shape[name] == 0)
-            else None
-            for axis, name in enumerate(spec)
-        ]
-        return _put(mesh, x, P(*fixed) if fixed else P())
+        return _put(mesh, x, _rule_spec(mesh, path, x, rule_fn))
     return jax.tree_util.tree_map_with_path(put, params)
+
+
+def tp_param_specs(mesh: Mesh, params):
+    """PartitionSpec tree for the transformer TP rules WITHOUT placing data
+    — usable with jax.ShapeDtypeStruct for AOT/topology compilation (the
+    mesh may be built from jax.experimental.topologies abstract devices)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: _rule_spec(mesh, path, x, _tp_rule_transformer),
+        params)
 
 
 def shard_vit_params_tp(mesh: Mesh, params):

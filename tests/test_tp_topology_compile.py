@@ -1,0 +1,40 @@
+"""Multi-chip TPU compile regression: the TP-sharded quantized DiT step
+must AOT-compile for a real v5e pod-slice topology with overlapped
+(async) ICI collectives.
+
+This is the test that catches the class of bug the CPU-mesh dryrun masks:
+Mosaic kernels cannot be auto-partitioned by GSPMD, so the fused attention
+kernel must shard_map itself under an ambient mesh (and the Pallas
+quantize kernel must fall back to the XLA formulation).  Compilation runs
+against jax.experimental.topologies — no TPU hardware needed, but the TPU
+compiler must be importable, and the session conftest forces the CPU
+backend (which would lower Pallas in interpret mode), so the probe runs in
+a SUBPROCESS with the default platform; it skips cleanly where the
+topology is unavailable.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_tp_dit_step_compiles_for_v5e_slice_with_overlap():
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "tp_topology_probe.py")
+    proc = subprocess.run(
+        [sys.executable, tool, "--model", "DiT-S/2", "--batch", "8"],
+        capture_output=True, text=True, env=env, timeout=560)
+    if proc.returncode != 0 and ("get_topology_desc" in proc.stderr
+                                  or "UNIMPLEMENTED" in proc.stderr):
+        pytest.skip(f"v5e topology unavailable: {proc.stderr[-300:]}")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "OVERLAP CONFIRMED" in out, out
+    # the fused Pallas kernel must be inside the multi-chip executable
+    tcc = [l for l in out.splitlines() if "tpu_custom_call" in l]
+    assert tcc and int(tcc[0].split(":")[1]) > 0, out

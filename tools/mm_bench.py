@@ -18,7 +18,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from mx_quantization_tpu.ops.fastquant import quantize_mx_fast
-from mx_quantization_tpu.ops.kernels.mx_matmul import mx_matmul_pallas
+from mx_matmul_ablation import mx_matmul_pallas  # retired ablation kernel
 
 
 def timed_chain(fn, x, n0=2, n1=12, reps=3):

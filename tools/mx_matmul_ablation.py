@@ -1,4 +1,12 @@
-"""Pallas kernel: MX-quantized matmul with quantization fused in the prologue.
+"""RETIRED ablation: Pallas MX-quantized matmul with fused quantization.
+
+MEASURED DEAD END (round 1, real v5e chip, tools/mm_bench.py): 5-7x slower
+than XLA's matmul + the one-pass Pallas quantize kernel at DiT-XL/2
+serving shapes — fusing the activation quantize into a Pallas matmul
+serializes what XLA pipelines (weight-stationary MXU streaming with the
+quantize on the VPU of a *separate* fused pass).  Kept here as the
+recorded ablation harness, NOT part of the production package
+(ops/kernels exports only kernels the framework actually runs).
 
 C = Q(A) @ Q(B) where Q is per-32-block MX fake-quantization:
   * A (M, K) quantized along K (activation contract, axes=[-1])
@@ -25,8 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...formats import format_params
-from .quantize import _quantize_block_values_axis0
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mx_quantization_tpu.formats import format_params
+from mx_quantization_tpu.ops.kernels.quantize import _quantize_block_values_axis0
 
 
 def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, block_size, mbits_a, mbits_b,

@@ -1,0 +1,122 @@
+"""AOT-compile the TP-sharded DiT step for a REAL TPU pod-slice topology
+and report the collective schedule — the ICI/compute-overlap evidence.
+
+No multi-chip hardware is attached in this environment, but XLA can
+compile for one: jax.experimental.topologies.get_topology_desc("v5e:2x2")
+yields an abstract 4-chip v5e slice, and jit(...).lower(...).compile()
+against ShapeDtypeStructs carrying NamedShardings produces the fully
+optimized, scheduled TPU executable.  The report counts async collective
+pairs (all-gather-start/-done etc.) and the number of scheduled
+instructions between each start and its done — nonzero gaps mean XLA's
+latency-hiding scheduler overlaps the ICI transfer with compute.
+
+This probe is also what exposed round-2's multi-chip blocker: Mosaic
+kernels cannot be auto-partitioned ("wrap the call in a shard_map"), which
+the CPU-mesh dryrun masks because interpret-mode Pallas lowers to plain
+HLO.  The fused attention kernel now shard_maps itself under an ambient
+mesh and the quantize kernel falls back to the XLA formulation (see
+ops/fastquant.ambient_mesh).
+
+Usage: python tools/tp_topology_probe.py [--model DiT-XL/2] [--topology v5e:2x2]
+"""
+
+import argparse
+import collections
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import topologies
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def compile_tp_step(model="DiT-B/2", topology="v5e:2x2", batch=16):
+    from mx_quantization_tpu.models.dit import (DiT_models, DiTQuantConfig,
+                                                dit_forward, init_dit)
+    from mx_quantization_tpu.parallel import tp_param_specs
+    from mx_quantization_tpu.workloads.dit import dit_mx_specs
+
+    td = topologies.get_topology_desc(platform="tpu", topology_name=topology)
+    devs = np.array(td.devices)
+    mesh = Mesh(devs.reshape(2, len(devs) // 2), ("data", "model"))
+
+    cfg = DiT_models[model](input_size=32)
+    qcfg = DiTQuantConfig(mx_specs=dit_mx_specs("fused"), mx_quant=True,
+                          top_k=True, k=154, pred_mode="ex_pred",
+                          exclude_blocks=(cfg.depth - 1,),
+                          topk_key_bits=8, activation_dtype="bfloat16")
+    params = init_dit(jax.random.key(0), cfg)
+    pspecs = tp_param_specs(mesh, params)
+    absp = jax.tree.map(
+        lambda x, sp: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, sp)),
+        params, pspecs)
+
+    def sd(shape, dt, spec):
+        return jax.ShapeDtypeStruct(shape, dt,
+                                    sharding=NamedSharding(mesh, spec))
+
+    ax = sd((2 * batch, 4, 32, 32), jnp.float32, P("data"))
+    at = sd((2 * batch,), jnp.float32, P("data"))
+    ay = sd((2 * batch,), jnp.int32, P("data"))
+
+    f = jax.jit(lambda p, x, t, y: dit_forward(p, x, t, y, cfg, qcfg))
+    with jax.set_mesh(mesh):
+        compiled = f.lower(absp, ax, at, ay).compile()
+    return compiled, mesh
+
+
+def schedule_report(hlo_text: str) -> dict:
+    counts = collections.Counter()
+    for pat in ("all-gather-start", "all-gather-done", "all-reduce-start",
+                "reduce-scatter", "collective-permute-start",
+                "tpu_custom_call", "all-to-all"):
+        counts[pat] = len(re.findall(re.escape(pat), hlo_text))
+    lines = hlo_text.splitlines()
+    gaps = []
+    for i, line in enumerate(lines):
+        if ("-start" in line and "= " in line and
+                ("all-gather" in line or "all-reduce" in line or
+                 "collective-permute" in line)):
+            for j in range(i + 1, min(i + 800, len(lines))):
+                if "-done" in lines[j]:
+                    gaps.append(j - i)
+                    break
+    return {"counts": dict(counts), "async_pairs": len(gaps),
+            "gap_median": (sorted(gaps)[len(gaps) // 2] if gaps else 0),
+            "gap_max": (max(gaps) if gaps else 0)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="DiT-B/2")
+    ap.add_argument("--topology", default="v5e:2x2")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--save-hlo", default=None)
+    args = ap.parse_args()
+    compiled, mesh = compile_tp_step(args.model, args.topology, args.batch)
+    txt = compiled.as_text()
+    if args.save_hlo:
+        open(args.save_hlo, "w").write(txt)
+    rep = schedule_report(txt)
+    print(f"model={args.model} topology={args.topology} "
+          f"mesh={dict(mesh.shape)} hlo_bytes={len(txt)}")
+    for k, v in rep["counts"].items():
+        print(f"  {k}: {v}")
+    print(f"  async start/done pairs: {rep['async_pairs']}, "
+          f"median instrs in flight: {rep['gap_median']}, "
+          f"max: {rep['gap_max']}")
+    assert rep["async_pairs"] > 0 and rep["gap_median"] > 0, \
+        "no overlapped collectives in the schedule"
+    print("OVERLAP CONFIRMED: collectives are scheduled async with compute "
+          "between start and done.")
+
+
+if __name__ == "__main__":
+    main()
