@@ -188,8 +188,8 @@ def _elemwise_grid_round(scaled, ebits, mbits, max_norm):
 
 def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
                         scale_bits: int = 8, axis: int = -1,
-                        out_dtype=jnp.bfloat16, flush: bool = False
-                        ) -> jax.Array:
+                        out_dtype=jnp.bfloat16, flush: bool = False,
+                        bfloat: int = 0) -> jax.Array:
     """Serving-path MX quantize: route to the one-pass Pallas kernel on TPU.
 
     The XLA lowering of the blocked reshape (quantize_mx_fast) costs ~7x the
@@ -204,7 +204,12 @@ def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
             and jax.default_backend() == "tpu" and x.size >= (1 << 16)
             and ambient_mesh() is None):
         from .kernels.quantize import mx_quantize_pallas
+        # the bfloat=16 elementwise round fuses INTO the kernel (a separate
+        # XLA pass feeding a Pallas kernel costs a full HBM round-trip)
         return mx_quantize_pallas(x, elem_format, block_size, scale_bits,
-                                  out_dtype=out_dtype, flush=flush)
+                                  out_dtype=out_dtype, flush=flush,
+                                  bfloat=bfloat)
+    if bfloat == 16:
+        x = bf16_round_half_away(x)
     return quantize_mx_fast(x, elem_format, block_size, scale_bits,
                             axis=axis, out_dtype=out_dtype, flush=flush)

@@ -35,11 +35,24 @@ def _use_interpret() -> bool:
 # (_quantize_block_values_axis0); last-axis quantization transposes first.
 
 
+def _bf16_round_f32(x):
+    """Half-away bf16 rounding (see fastquant.bf16_round_half_away) —
+    in-VMEM so the bfloat=16 elementwise quantize fuses into the MX
+    quantize instead of costing its own HBM pass."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    mag = b & 0x7FFFFFFF
+    rounded = (mag + 0x8000) & ~0xFFFF
+    out_mag = jnp.where(mag >= 0x7F800000, mag, rounded)
+    out = out_mag | (b & jnp.int32(-2147483648))
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+
 def _quantize_block_values_axis0(x, block_size: int, mbits: int,
                                  scale_bits: int, out_dtype,
                                  ebits: int = 0, emax: int = 0,
                                  max_norm: float = 0.0,
-                                 flush: bool = False):
+                                 flush: bool = False,
+                                 bfloat: int = 0):
     """Same as _quantize_block_values but blocks along axis 0 of a 2D x
     (K, N) — the layout of the second matmul operand.  Avoids an in-kernel
     transpose.  ebits == 0: int grid; ebits > 0: MXFP grid (private
@@ -47,7 +60,10 @@ def _quantize_block_values_axis0(x, block_size: int, mbits: int,
     half-away, saturate at max_norm — the quantize_mx contract)."""
     K, N = x.shape
     nb = K // block_size
-    xb = x.astype(jnp.float32).reshape(nb, block_size, N)
+    x32 = x.astype(jnp.float32)
+    if bfloat == 16:
+        x32 = _bf16_round_f32(x32)
+    xb = x32.reshape(nb, block_size, N)
 
     bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
     mb = jnp.max(bits, axis=1, keepdims=True)
@@ -89,21 +105,21 @@ def _quantize_block_values_axis0(x, block_size: int, mbits: int,
 
 
 def _quantize_kernel(x_ref, o_ref, *, block_size, mbits, scale_bits,
-                     out_dtype, ebits, emax, max_norm, flush):
+                     out_dtype, ebits, emax, max_norm, flush, bfloat):
     # transpose so K blocks land on sublanes (see layout note above)
     qt = _quantize_block_values_axis0(x_ref[:].T, block_size, mbits,
                                       scale_bits, out_dtype, ebits, emax,
-                                      max_norm, flush)
+                                      max_norm, flush, bfloat)
     o_ref[:] = qt.T
 
 
 @functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
                                              "scale_bits", "out_dtype",
-                                             "tile_rows", "flush"))
+                                             "tile_rows", "flush", "bfloat"))
 def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
                        block_size: int = 32, scale_bits: int = 8,
                        out_dtype=jnp.bfloat16, tile_rows: int = 256,
-                       flush: bool = False):
+                       flush: bool = False, bfloat: int = 0):
     """Quantize x along its last axis to the MX grid (values, not packed).
 
     x: (..., K) fp32/bf16, K % block_size == 0.  Returns same shape in
@@ -135,7 +151,7 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
         functools.partial(_quantize_kernel, block_size=block_size,
                           mbits=mbits, scale_bits=scale_bits,
                           out_dtype=out_dtype, ebits=ebits, emax=emax,
-                          max_norm=max_norm, flush=flush),
+                          max_norm=max_norm, flush=flush, bfloat=bfloat),
         grid=((M + pad) // tm,),
         in_specs=[pl.BlockSpec((tm, K), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],

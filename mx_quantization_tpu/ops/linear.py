@@ -103,25 +103,25 @@ def _linear_fwd_fast(x, w, b, specs):
     bs = specs.block_size
     sb = specs.effective_scale_bits()
     fl = specs.mx_flush_fp32_subnorms
-    bf_x = bf_fast(x, specs)
-    bf_w = bf_fast(w, specs)
     if specs.prequantized_activations:
         # a producer-side fused kernel (ln_modulate_quantize_pallas) already
         # put x on the MX grid along -1; re-quantizing is idempotent — skip
-        qx = bf_x.astype(jnp.bfloat16)
+        qx = bf_fast(x, specs).astype(jnp.bfloat16)
     else:
-        qx = quantize_mx_serving(bf_x, specs.a_elem_format, bs, sb, axis=-1,
-                                 flush=fl)
+        # the bfloat elementwise round rides inside the quantize
+        qx = quantize_mx_serving(x, specs.a_elem_format, bs, sb, axis=-1,
+                                 flush=fl, bfloat=specs.bfloat)
     if specs.prequantized_weights:
         qw = w.astype(jnp.bfloat16)  # already on the MX grid
     else:
-        qw = quantize_mx_fast(bf_w, specs.w_elem_format, bs, sb, axis=-1,
-                              flush=fl)
+        qw = quantize_mx_fast(bf_fast(w, specs), specs.w_elem_format, bs,
+                              sb, axis=-1, flush=fl)
     out = jnp.matmul(qx, qw.T, preferred_element_type=jnp.float32)
     out = bf_fast(out, specs)
     if b is not None:
         out = bf_fast(out + bf_fast(b, specs), specs)
-    saved_x, saved_w = (bf_x, bf_w) if specs.quantize_backprop else (x, w)
+    saved_x, saved_w = (bf_fast(x, specs), bf_fast(w, specs)) \
+        if specs.quantize_backprop else (x, w)
     return out, (saved_x, saved_w, b is not None)
 
 
@@ -222,13 +222,14 @@ def _matmul_fwd_fast(a, b, specs, fmt1, fmt2):
     bs = specs.block_size
     sb = specs.effective_scale_bits()
     fl = specs.mx_flush_fp32_subnorms
-    bf_a = bf_fast(a, specs)
-    bf_b = bf_fast(b, specs)
-    qa = quantize_mx_serving(bf_a, fmt1, bs, sb, axis=-1, flush=fl)
-    qb = quantize_mx_fast(bf_b, fmt2, bs, sb, axis=-2, flush=fl)
+    qa = quantize_mx_serving(a, fmt1, bs, sb, axis=-1, flush=fl,
+                             bfloat=specs.bfloat)
+    qb = quantize_mx_fast(bf_fast(b, specs), fmt2, bs, sb, axis=-2,
+                          flush=fl)
     out = jnp.matmul(qa, qb, preferred_element_type=jnp.float32)
     out = bf_fast(out, specs)
-    saved = (bf_a, bf_b) if specs.quantize_backprop else (a, b)
+    saved = (bf_fast(a, specs), bf_fast(b, specs)) \
+        if specs.quantize_backprop else (a, b)
     return out, saved
 
 

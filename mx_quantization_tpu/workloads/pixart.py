@@ -46,23 +46,70 @@ def pixart_mx_specs(custom_tpu: str = "fused") -> MxSpecs:
         quantize_backprop=False, custom_tpu=custom_tpu))
 
 
-def encode_prompts_t5(prompts: List[str], t5_path: str, max_length: int = 120
+def encode_prompts_t5(prompts: List[str], t5_path: str, max_length: int = 120,
+                      backend: str = "jax", quantize: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """Offline T5 encoding with a local checkpoint (reference alpha:86-99).
-    Returns (embeds (N, L, 4096), mask (N, L))."""
-    import torch
-    from transformers import T5EncoderModel, T5Tokenizer
+    """T5 prompt encoding with a local checkpoint (reference alpha:86-99).
 
-    tok = T5Tokenizer.from_pretrained(t5_path)
-    enc = T5EncoderModel.from_pretrained(t5_path)
-    enc.eval()
+    backend="jax" (default): the IN-FRAMEWORK encoder (models/t5.py) runs
+    on the accelerator, optionally MXINT8-quantized (``quantize=True`` —
+    the TPU-native analogue of the reference's 8-bit bitsandbytes T5).
+    backend="torch": the original CPU transformers path.
+    Returns (embeds (N, L, d_model), mask (N, L))."""
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(t5_path)
     inputs = tok(prompts, max_length=max_length, padding="max_length",
-                 truncation=True, return_tensors="pt")
-    with torch.no_grad():
-        out = enc(input_ids=inputs.input_ids,
-                  attention_mask=inputs.attention_mask)
-    return (out.last_hidden_state.numpy().astype(np.float32),
-            inputs.attention_mask.numpy().astype(np.int32))
+                 truncation=True, return_tensors="np")
+    ids = inputs["input_ids"].astype(np.int64)
+    mask = inputs["attention_mask"].astype(np.int32)
+
+    if backend == "torch":
+        import torch
+        from transformers import T5EncoderModel
+        enc = T5EncoderModel.from_pretrained(t5_path)
+        enc.eval()
+        with torch.no_grad():
+            out = enc(input_ids=torch.tensor(ids),
+                      attention_mask=torch.tensor(mask))
+        return (out.last_hidden_state.numpy().astype(np.float32), mask)
+
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.t5 import T5_CONFIGS, T5Config, load_t5_checkpoint, \
+        t5_encode
+
+    # checkpoint file inside the HF-style folder
+    cands = (glob.glob(os.path.join(t5_path, "*.safetensors")) +
+             glob.glob(os.path.join(t5_path, "pytorch_model*.bin")))
+    if not cands:
+        raise FileNotFoundError(f"no T5 weights under {t5_path}")
+    # infer the config from the embedding width
+    import json
+    cfg_file = os.path.join(t5_path, "config.json")
+    if os.path.exists(cfg_file):
+        hf = json.load(open(cfg_file))
+        t5c = T5Config(
+            vocab_size=hf.get("vocab_size", 32128),
+            d_model=hf.get("d_model", 4096), d_kv=hf.get("d_kv", 64),
+            d_ff=hf.get("d_ff", 10240),
+            num_layers=hf.get("num_layers", 24),
+            num_heads=hf.get("num_heads", 64),
+            relative_attention_num_buckets=hf.get(
+                "relative_attention_num_buckets", 32),
+            relative_attention_max_distance=hf.get(
+                "relative_attention_max_distance", 128))
+    else:
+        t5c = T5_CONFIGS["t5-v1_1-xxl"]
+    params = jax.tree.map(jnp.asarray, load_t5_checkpoint(cands[0], t5c))
+    specs = pixart_mx_specs("fused") if quantize else None
+    out = t5_encode(params, jnp.asarray(ids), jnp.asarray(mask), t5c,
+                    mx_specs=specs)
+    return np.asarray(out, np.float32), mask
 
 
 def sample_pixart(params, cfg: PixArtConfig, qcfg: PixArtQuantConfig,

@@ -237,3 +237,22 @@ def test_prequantized_activations_skips_requantize():
     out_ref = mx_linear(x, w, None, specs)
     np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_quantize_in_kernel_bfloat16():
+    """mx_quantize_pallas(bfloat=16) == bf16_round_half_away then quantize
+    (the fused in-kernel elementwise round, serving path at the DiT
+    operating point)."""
+    from mx_quantization_tpu.ops.fastquant import (bf16_round_half_away,
+                                                   quantize_mx_fast,
+                                                   quantize_mx_serving)
+    from mx_quantization_tpu.ops.kernels.quantize import mx_quantize_pallas
+    x = rand(64, 1152, seed=33, scale=2.0)
+    want = quantize_mx_fast(bf16_round_half_away(x), "int8", 32, 8)
+    got = mx_quantize_pallas(x, "int8", 32, 8, bfloat=16)
+    np.testing.assert_array_equal(np.asarray(want, np.float32),
+                                  np.asarray(got, np.float32))
+    # the serving dispatcher applies the same round on the XLA fallback
+    got2 = quantize_mx_serving(x, "int8", 32, 8, bfloat=16)
+    np.testing.assert_array_equal(np.asarray(want, np.float32),
+                                  np.asarray(got2, np.float32))

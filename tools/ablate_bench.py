@@ -30,9 +30,10 @@ from mx_quantization_tpu.utils.prequantize import prequantize_weights  # noqa: E
 
 
 def main():
+    # the EXACT reference DiT operating point (bfloat=16)
     specs = finalize_mx_specs(dict(
         w_elem_format="int8", a_elem_format="int8", scale_bits=8,
-        block_size=32, bfloat=0, quantize_backprop=False,
+        block_size=32, bfloat=16, quantize_backprop=False,
         custom_tpu="fused"))
 
     cfg = DiT_models["DiT-XL/2"](input_size=32)

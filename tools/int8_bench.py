@@ -93,19 +93,36 @@ def main():
     t_bf16 = timed(f_bf16, va)
 
     # ---- int8 per-block partials (exact MX semantics) ----
+    # accumulate block-by-block (a fori over nb): materializing the full
+    # (nb, M, N) int32 partial stack is 8 GB — the first formulation hung
+    # the chip.  Even so, each block dot contracts only K=32 of the
+    # 128-deep MXU and the f32 epilogue touches M*N per block.
     mb3 = mb.reshape(N, nb, bs).transpose(1, 2, 0)      # (nb, 32, N)
     sa = pow2i(ea).T[:, :, None] * (1 / 64.0)           # (nb, M, 1)
     sb = pow2i(eb).T[:, None, :] * (1 / 64.0)           # (nb, 1, N)
 
+    # the chained-timing protocol at nb=36 never completed on the remote
+    # chip (the fori-of-36-int8-dots + per-block M*N f32 epilogue is ~8 GB
+    # of epilogue HBM traffic per call); probe ONE scaled-down instance
+    # (nb_p blocks) and extrapolate per-block cost linearly
+    nb_p = 4
+    Kp = nb_p * bs
+
     def f_int8_block(x):
-        x3 = x.reshape(M, nb, bs).transpose(1, 0, 2)    # (nb, M, 32)
-        part = jax.lax.dot_general(
-            x3, mb3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)           # (nb, M, N)
-        out = jnp.sum(part.astype(jnp.float32) * sa * sb, axis=0)
+        x3 = x.reshape(M, nb_p, bs).transpose(1, 0, 2)  # (nb_p, M, 32)
+
+        def body(b, acc):
+            part = jax.lax.dot_general(
+                x3[b], mb3[b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)       # (M, N)
+            return acc + part.astype(jnp.float32) * sa[b] * sb[b]
+
+        out = jax.lax.fori_loop(0, nb_p, body,
+                                jnp.zeros((M, N), jnp.float32))
         return x + (jnp.sum(out) * 1e-30).astype(jnp.int8)
 
-    t_blk = timed(f_int8_block, ma)
+    t_probe = timed(f_int8_block, ma[:, :Kp], n0=1, n1=5, reps=2)
+    t_blk = t_probe * (nb / nb_p)   # linear in block count
 
     # ---- int8 full-K, per-row scales (speed-of-light reference) ----
     ma_r, ea_r = encode_int8(a, K)    # block = whole axis
@@ -123,7 +140,7 @@ def main():
 
     flops = 2 * M * K * N
     for name, t in [("bf16 single-pass", t_bf16),
-                    ("int8 per-32-block", t_blk),
+                    ("int8 per-32-block (extrap)", t_blk),
                     ("int8 full-K row-scale", t_row)]:
         print(f"{name:24s}: {t*1e6:8.0f} us  {flops/t/1e12:7.1f} TFLOP/s",
               flush=True)

@@ -1,0 +1,76 @@
+"""Continuous-batching serving throughput on the real chip.
+
+Measures the DiffusionServer end to end with the quantized DiT-XL/2 at the
+exact reference operating point: a request stream larger than the slot
+pool, reporting steady-state imgs/sec and per-request latency percentiles.
+The slot state is device-resident with donated buffers; the host fetches a
+(slots,) mask per step plus finished latents only.
+
+Usage: python tools/serving_bench.py [--slots 32] [--steps 100] [--reqs 64]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.cache/jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--reqs", type=int, default=64)
+    args = ap.parse_args()
+
+    from mx_quantization_tpu.models import (DiT_models, DiTQuantConfig,
+                                            dit_forward, init_dit)
+    from mx_quantization_tpu.serving import DiffusionServer, Request
+    from mx_quantization_tpu.utils.prequantize import prequantize_weights
+    from mx_quantization_tpu.workloads.dit import dit_mx_specs
+
+    specs = dit_mx_specs("fused")
+    cfg = DiT_models["DiT-XL/2"](input_size=32)
+    params = init_dit(jax.random.key(0), cfg)
+    q_params, specs = prequantize_weights(params, specs,
+                                          serve_dtype=jnp.bfloat16)
+    qcfg = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=154,
+                          pred_mode="ex_pred", exclude_blocks=(27,),
+                          topk_key_bits=8, activation_dtype="bfloat16")
+
+    def model_fn(p, lat, t, y):
+        return dit_forward(p, lat, t, y, cfg, qcfg)
+
+    srv = DiffusionServer(model_fn, (4, 32, 32), num_steps=args.steps,
+                          slots=args.slots, null_condition=1000,
+                          cfg_scale=4.0, params=q_params)
+    # warm: one full drain of a slot-pool's worth
+    for i in range(args.slots):
+        srv.submit(Request(i, i % 1000))
+    srv.run_until_drained()
+    srv._results.clear()
+
+    t0 = time.perf_counter()
+    for i in range(args.reqs):
+        srv.submit(Request(10000 + i, i % 1000))
+    res = srv.run_until_drained()
+    dt = time.perf_counter() - t0
+    lats = np.array([r.latency_s for r in res.values()])
+    print(f"slots={args.slots} steps={args.steps} reqs={args.reqs}: "
+          f"{len(res)/dt:.3f} imgs/sec  "
+          f"latency p50={np.percentile(lats,50):.1f}s "
+          f"p95={np.percentile(lats,95):.1f}s wall={dt:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
