@@ -69,8 +69,9 @@ def encode_int8(x, bs):
 
 
 def main():
-    # DiT-XL/2 qkv linear shape at the bench point (B=64 CFG, N=256 tokens)
-    M, K, N = 64 * 256, 1152, 3456
+    # DiT-XL/2 qkv linear shape, quarter-batch rows (full-M runs wedged the
+    # remote chip twice; TFLOP/s is M-invariant at these sizes)
+    M, K, N = 16 * 256, 1152, 3456
     bs = 32
     nb = K // bs
     rng = np.random.RandomState(0)
@@ -91,6 +92,9 @@ def main():
         return x + jnp.sum(out).astype(x.dtype) * 1e-30
 
     t_bf16 = timed(f_bf16, va)
+    flops = 2 * M * K * N
+    print(f"bf16 single-pass        : {t_bf16*1e6:8.0f} us  "
+          f"{flops/t_bf16/1e12:7.1f} TFLOP/s", flush=True)
 
     # ---- int8 per-block partials (exact MX semantics) ----
     # accumulate block-by-block (a fori over nb): materializing the full
@@ -121,8 +125,7 @@ def main():
                                 jnp.zeros((M, N), jnp.float32))
         return x + (jnp.sum(out) * 1e-30).astype(jnp.int8)
 
-    t_probe = timed(f_int8_block, ma[:, :Kp], n0=1, n1=5, reps=2)
-    t_blk = t_probe * (nb / nb_p)   # linear in block count
+
 
     # ---- int8 full-K, per-row scales (speed-of-light reference) ----
     ma_r, ea_r = encode_int8(a, K)    # block = whole axis
@@ -137,13 +140,14 @@ def main():
         return x + (jnp.sum(out) * 1e-30).astype(jnp.int8)
 
     t_row = timed(f_int8_fullk, ma_r)
+    print(f"int8 full-K row-scale   : {t_row*1e6:8.0f} us  "
+          f"{flops/t_row/1e12:7.1f} TFLOP/s", flush=True)
 
-    flops = 2 * M * K * N
-    for name, t in [("bf16 single-pass", t_bf16),
-                    ("int8 per-32-block (extrap)", t_blk),
-                    ("int8 full-K row-scale", t_row)]:
-        print(f"{name:24s}: {t*1e6:8.0f} us  {flops/t/1e12:7.1f} TFLOP/s",
-              flush=True)
+    t_probe = timed(f_int8_block, ma[:, :Kp], n0=1, n1=5, reps=2)
+    t_blk = t_probe * (nb / nb_p)   # linear in block count
+    print(f"int8 per-32-blk (extrap): {t_blk*1e6:8.0f} us  "
+          f"{flops/t_blk/1e12:7.1f} TFLOP/s  "
+          f"(probe {nb_p} blocks: {t_probe*1e6:.0f} us)", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,9 +26,12 @@ from mx_quantization_tpu.models import (PixArtConfig, PixArtQuantConfig,
 from mx_quantization_tpu.models.vit import VIT_CONFIGS
 from mx_quantization_tpu.utils.prequantize import prequantize_weights
 
+# the EXACT reference operating points: DeiT uses bfloat=32 (the fp32
+# identity), PixArt bfloat=32 + mx_flush_fp32_subnorms=True
 SPECS = finalize_mx_specs(dict(
     w_elem_format="int8", a_elem_format="int8", scale_bits=8, block_size=32,
-    bfloat=0, quantize_backprop=False, custom_tpu="fused"))
+    bfloat=32, quantize_backprop=False, custom_tpu="fused"))
+PIXART_SPECS = SPECS.replace(mx_flush_fp32_subnorms=True)
 
 
 def timed_steps(step, args0, feed, n0=1, n1=6, reps=2):
@@ -79,7 +82,7 @@ def deit_probe(model="deit_small_patch16_224", k=60, B=100,
 def pixart_probe(B=8, steps=20):
     cfg = PixArtConfig()  # alpha 256: 28 layers, d=1152, heads=16, sample 32
     params = init_pixart(jax.random.key(0), cfg)
-    q_params, specs = prequantize_weights(params, SPECS)
+    q_params, specs = prequantize_weights(params, PIXART_SPECS)
     qcfg = PixArtQuantConfig(mx_specs=specs, mx_quant=True,
                              self_top_k=True, self_k=77,
                              cross_top_k=True, cross_k=60,
@@ -127,7 +130,7 @@ def dit512_probe(B=4):
                                             dit_forward_with_cfg, init_dit)
     cfg = DiT_models["DiT-XL/2"](input_size=64)
     params = init_dit(jax.random.key(0), cfg)
-    q_params, specs = prequantize_weights(params, SPECS)
+    q_params, specs = prequantize_weights(params, SPECS.replace(bfloat=16))
     qcfg = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=154,
                           ex_pred=True, pred_mode="ex_pred",
                           exclude_blocks=(27,), topk_key_bits=8,
@@ -152,7 +155,7 @@ def pixart1024_probe(B=1, steps=20):
     query-tiled kernel at its S cap, plus micro-conditioning."""
     cfg = PixArtConfig(sample_size=128)
     params = init_pixart(jax.random.key(0), cfg)
-    q_params, specs = prequantize_weights(params, SPECS)
+    q_params, specs = prequantize_weights(params, PIXART_SPECS)
     qc = PixArtQuantConfig(mx_specs=specs, mx_quant=True,
                            self_top_k=True, self_k=77,
                            cross_top_k=True, cross_k=60,
