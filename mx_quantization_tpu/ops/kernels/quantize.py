@@ -165,57 +165,6 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
     return out.reshape(orig_shape)
 
 
-def _quantize_kernel_axis0(x_ref, o_ref, *, block_size, mbits, scale_bits,
-                           out_dtype, ebits, emax, max_norm, flush):
-    o_ref[:] = _quantize_block_values_axis0(x_ref[:], block_size, mbits,
-                                            scale_bits, out_dtype, ebits,
-                                            emax, max_norm, flush)
-
-
-@functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
-                                             "scale_bits", "out_dtype",
-                                             "tile_cols", "flush"))
-def mx_quantize_pallas_axis2(x: jax.Array, elem_format: str = "int8",
-                             block_size: int = 32, scale_bits: int = 8,
-                             out_dtype=jnp.bfloat16, tile_cols: int = 512,
-                             flush: bool = False):
-    """Quantize x along its SECOND-TO-LAST axis (the matmul 'aa' second
-    operand contract, reference matmul.py:76-83).
-
-    x: (..., K, N) with K % block_size == 0.  Leading dims are vmapped.
-    """
-    ebits, mbits, emax, max_norm, _ = format_params(elem_format)
-    orig_shape = x.shape
-    K, N = orig_shape[-2], orig_shape[-1]
-    assert K % block_size == 0, (K, block_size)
-    x3 = x.reshape((-1, K, N)).astype(jnp.float32)
-
-    tn = min(tile_cols, N)
-    pad = (-N) % tn
-    if pad:
-        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, pad)))
-
-    def one(x2):
-        return pl.pallas_call(
-            functools.partial(_quantize_kernel_axis0, block_size=block_size,
-                              mbits=mbits, scale_bits=scale_bits,
-                              out_dtype=out_dtype, ebits=ebits, emax=emax,
-                              max_norm=max_norm, flush=flush),
-            grid=((N + pad) // tn,),
-            in_specs=[pl.BlockSpec((K, tn), lambda j: (0, j),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((K, tn), lambda j: (0, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((K, N + pad), out_dtype),
-            interpret=_use_interpret(),
-        )(x2)
-
-    out = jax.vmap(one)(x3)
-    if pad:
-        out = out[..., :N]
-    return out.reshape(orig_shape)
-
-
 def _ln_mod_quant_kernel(x_ref, sh_ref, sc_ref, o_ref, *, block_size, mbits,
                          scale_bits, out_dtype, eps, ebits, emax, max_norm):
     """LayerNorm (no affine) + adaLN modulate + MX quantize, one pass.

@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 import numpy as np
 
@@ -169,7 +168,6 @@ def run_pixart(args) -> dict:
                             num_steps=args.num_steps,
                             guidance_scale=args.cfg_scale)
         if vae is not None:
-            from ..models.vae import decode_latents
             lat = decode_latents(vae, lat)
         imgs.append(latents_to_images(np.asarray(lat)))
     imgs = np.concatenate(imgs)

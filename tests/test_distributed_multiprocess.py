@@ -90,7 +90,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mx_quantization_tpu import finalize_mx_specs
 from mx_quantization_tpu.models import (DiTConfig, DiTQuantConfig,
-import pytest
                                         dit_forward, init_dit)
 
 cfg = DiTConfig(input_size=8, patch_size=2, hidden_size=64, depth=2,
