@@ -20,10 +20,15 @@ statically).  Design:
   * The host fetches per step: ONE (slots,) finished mask, plus the latents
     of finished slots only.  Refills are per-slot device updates (noise is
     generated ON device; only the new request's condition is uploaded).
-  * Finish handling is DOUBLE-BUFFERED: step N+1 is dispatched before step
-    N's finished latents are pulled, so the device never waits on the host
-    fetch; a finished slot idles for one engine step before refill (the
-    classic pipeline bubble trade).
+  * Finish handling is DOUBLE-BUFFERED the DISPATCH-FIRST way: the engine
+    step emits the finished mask and the finished slots' latents as
+    separate NON-DONATED output buffers, so step N+1 (which donates the
+    pool) is dispatched BEFORE step N's finish buffers are drained — the
+    host's fetch round trip (measured ~25 ms through the axon tunnel,
+    tools/serving_trace.py) overlaps the device executing step N+1 instead
+    of serializing between dispatches.  A finished slot idles two engine
+    steps before refill (the classic pipeline bubble trade, ~2% of a
+    100-step schedule at burst boundaries, vs ~12% per-step fetch stall).
   * CFG is folded in by doubling the model batch inside the step.
 
 Works with any epsilon/learned-variance model (DiT here); sharding the slot
@@ -153,7 +158,7 @@ class DiffusionServer:
             self._step_jit = jax.jit(
                 self._engine_step,
                 in_shardings=(params_sh,) + state_sh + (self._cond_sh, rep),
-                out_shardings=state_sh + (self._sh1,),
+                out_shardings=state_sh + (self._sh1, self._sh4),
                 donate_argnums=(1, 2, 3))
 
         def refill(lat, step_idx, active, cond, slot, new_cond, key):
@@ -179,8 +184,12 @@ class DiffusionServer:
     def _engine_step(self, params, lat, step_idx, active, cond, key):
         """One denoise step for every slot at its own timestep.
 
-        Returns (new_lat, new_step_idx, new_active, finished): a slot at
-        step_idx == 0 runs its final (no-noise) step and flips to finished.
+        Returns (new_lat, new_step_idx, new_active, finished, fin_lat): a
+        slot at step_idx == 0 runs its final (no-noise) step and flips to
+        finished.  ``finished`` and ``fin_lat`` (the finished slots'
+        latents, zeros elsewhere) are FRESH output buffers — the pool
+        buffers are donated, so these are what the host may still fetch
+        after the NEXT step has been dispatched (dispatch-first drain).
         """
         S = self.slots
         diff = self.diffusion
@@ -210,7 +219,9 @@ class DiffusionServer:
         finished = active & (step_idx == 0)
         new_active = active & ~finished
         new_step_idx = jnp.where(new_active, step_idx - 1, step_idx)
-        return new_lat, new_step_idx, new_active, finished
+        fin_lat = jnp.where(finished[:, None, None, None], new_lat,
+                            jnp.zeros_like(new_lat))
+        return new_lat, new_step_idx, new_active, finished, fin_lat
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> int:
@@ -241,7 +252,7 @@ class DiffusionServer:
 
     def _drain_pending(self) -> List[Result]:
         """Pull the previous step's finished slots (mask + those latents
-        only) — runs while the current step computes on device."""
+        only) — runs while the just-dispatched step computes on device."""
         if self._pending is None:
             return []
         fin_dev, lat_dev = self._pending
@@ -260,23 +271,27 @@ class DiffusionServer:
         return finished
 
     def step(self) -> List[Result]:
-        """Dispatch one engine step; returns results finished by the
-        PREVIOUS step (double-buffered: the new step computes on device
-        while the caller consumes the returned results).
+        """Dispatch one engine step, then drain the PREVIOUS step's finish
+        buffers, then refill freed slots for the NEXT dispatch.
 
-        The drain happens BEFORE the dispatch: the pending buffer holds a
-        reference to the latent pool, which the next dispatch DONATES — the
-        fetch must complete first (by then the previous step has long
-        finished, so it does not stall)."""
+        DISPATCH-FIRST ordering: the pending finish buffers are non-donated
+        outputs of the previous dispatch, so they survive this dispatch's
+        pool donation — the host's fetch round trip (~25 ms through the
+        tunnel) overlaps the device executing the step just dispatched
+        instead of stalling between dispatches (tools/serving_trace.py:
+        engine step device time 183 ms == the static driver step; the old
+        drain-first loop measured 215 ms/step wall)."""
+        new_pending = None
+        if self._host_busy.any():
+            self._key, sk = jax.random.split(self._key)
+            (self._lat, self._step_idx, self._active, fin_dev,
+             fin_lat) = self._step_jit(self.params, self._lat,
+                                       self._step_idx, self._active,
+                                       self._cond, sk)
+            new_pending = (fin_dev, fin_lat)
         results = self._drain_pending()
+        self._pending = new_pending
         self._fill_slots()
-        if not self._host_busy.any():
-            return results
-        self._key, sk = jax.random.split(self._key)
-        (self._lat, self._step_idx, self._active,
-         fin_dev) = self._step_jit(self.params, self._lat, self._step_idx,
-                                   self._active, self._cond, sk)
-        self._pending = (fin_dev, self._lat)
         return results
 
     def run_until_drained(self, max_steps: int = 100000) -> Dict[int, Result]:

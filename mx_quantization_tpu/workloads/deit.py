@@ -58,22 +58,28 @@ def evaluate(params, cfg: VitConfig, qcfg: VitQuantConfig,
              orthogonal_matrix=None, log_every: int = 20) -> dict:
     """Top-1/top-5 over an iterator of (images NCHW float32, labels int)."""
 
+    # counters ACCUMULATE ON DEVICE: fetching per-batch counts would stall
+    # every dispatch on a host round trip (~25 ms through the axon tunnel —
+    # tools/serving_trace.py measured the same stall class in serving);
+    # carrying them as device scalars keeps the batch chain pipelined and
+    # the host only syncs at log points and at the end.
     @jax.jit
-    def step(params, x, y):
+    def step(params, c1, c5, x, y):
         logits = vit_forward(params, x, cfg, qcfg, orthogonal_matrix)
-        return accuracy_counts(logits, y)
+        b1, b5 = accuracy_counts(logits, y)
+        return c1 + b1, c5 + b5
 
-    n = c1 = c5 = 0
+    n = 0
+    c1 = jnp.int32(0)
+    c5 = jnp.int32(0)
     t0 = time.time()
     for i, (x, y) in enumerate(batches):
-        b1, b5 = step(params, jnp.asarray(x), jnp.asarray(y))
-        c1 += int(b1)
-        c5 += int(b5)
+        c1, c5 = step(params, c1, c5, jnp.asarray(x), jnp.asarray(y))
         n += len(y)
         if log_every and (i + 1) % log_every == 0:
-            print(f"[{i+1}] acc@1 {c1/n:.4f} acc@5 {c5/n:.4f} "
+            print(f"[{i+1}] acc@1 {int(c1)/n:.4f} acc@5 {int(c5)/n:.4f} "
                   f"({n/(time.time()-t0):.1f} img/s)")
-    return {"acc1": c1 / max(n, 1), "acc5": c5 / max(n, 1), "n": n}
+    return {"acc1": int(c1) / max(n, 1), "acc5": int(c5) / max(n, 1), "n": n}
 
 
 def imagenet_val_batches(data_path: str, batch_size: int = 100,
