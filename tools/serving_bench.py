@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--slots", type=int, default=32)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--reqs", type=int, default=64)
+    ap.add_argument("--arrival", choices=["burst", "staggered"],
+                    default="burst",
+                    help="staggered: submit one request per engine step at "
+                    "~80%% utilization — the continuous-batching case "
+                    "(a static-batch server would queue each request until "
+                    "the next batch boundary)")
     args = ap.parse_args()
 
     from mx_quantization_tpu.models import (DiT_models, DiTQuantConfig,
@@ -61,13 +67,29 @@ def main():
     srv._results.clear()
 
     t0 = time.perf_counter()
-    for i in range(args.reqs):
-        srv.submit(Request(10000 + i, i % 1000))
-    res = srv.run_until_drained()
+    if args.arrival == "burst":
+        for i in range(args.reqs):
+            srv.submit(Request(10000 + i, i % 1000))
+        res = srv.run_until_drained()
+    else:
+        # staggered: one request every ~steps/(0.8*slots) engine steps so
+        # the pool sits at ~80% occupancy — each request starts on the
+        # next engine step instead of waiting for a batch boundary
+        period = max(1, round(args.steps / (0.8 * args.slots)))
+        sub = 0
+        step_n = 0
+        while sub < args.reqs or srv._host_busy.any() or \
+                srv._pending is not None:
+            if sub < args.reqs and step_n % period == 0:
+                srv.submit(Request(10000 + sub, sub % 1000))
+                sub += 1
+            srv.step()
+            step_n += 1
+        res = srv._results
     dt = time.perf_counter() - t0
     lats = np.array([r.latency_s for r in res.values()])
-    print(f"slots={args.slots} steps={args.steps} reqs={args.reqs}: "
-          f"{len(res)/dt:.3f} imgs/sec  "
+    print(f"slots={args.slots} steps={args.steps} reqs={args.reqs} "
+          f"arrival={args.arrival}: {len(res)/dt:.3f} imgs/sec  "
           f"latency p50={np.percentile(lats,50):.1f}s "
           f"p95={np.percentile(lats,95):.1f}s wall={dt:.1f}s", flush=True)
 
