@@ -182,20 +182,28 @@ def _kth_keys(keys, k, n_iters=32, lo_init=_IMIN, hi_init=2147483647):
     """Per-COLUMN k-th largest int32 key of ``keys`` (S, N) via binary
     search.  Columns are the query rows of the transposed score layout;
     the per-iteration count is a cross-sublane reduction (cheap on the
-    VPU, unlike cross-lane)."""
+    VPU, unlike cross-lane).
+
+    Returns ``(kth, n_gt)``: n_gt = per-column count of keys strictly
+    greater than kth, threaded through the search carry for free —
+    invariant cnt_hi == count(keys > hi) (0 at hi_init == the key max;
+    the down-branch just computed it), and hi == kth at exit — so the
+    caller's separate count pass over (S, N) disappears."""
     N = keys.shape[1]
     lo = jnp.full((1, N), jnp.int32(lo_init))
     hi = jnp.full((1, N), jnp.int32(hi_init))
+    cnt_hi = jnp.zeros((1, N), jnp.int32)
 
     def body(_, state):
-        lo, hi = state
+        lo, hi, cnt_hi = state
         mid = lo + jax.lax.shift_right_logical(hi - lo, 1)
         cnt = jnp.sum((keys > mid).astype(jnp.int32), axis=0, keepdims=True)
         up = cnt >= k
-        return jnp.where(up, mid + 1, lo), jnp.where(up, hi, mid)
+        return (jnp.where(up, mid + 1, lo), jnp.where(up, hi, mid),
+                jnp.where(up, cnt_hi, cnt))
 
-    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
-    return lo
+    lo, hi, cnt_hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi, cnt_hi))
+    return lo, cnt_hi
 
 
 def _mono_keys(x):
@@ -399,23 +407,27 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
         # exact only between scores closer than one bf16 ulp — noise for an
         # approximate predictor (ties stay exact via the rank machinery).
         keys = jax.lax.shift_right_arithmetic(keys, 16)
-        kth = _kth_keys(keys, k, n_iters=17, lo_init=-32769,
-                        hi_init=32768)
+        # bracket = the exact key range [-32768, 32767]: the bisection
+        # invariant is lo <= kth <= hi, so a 2^16-value interval needs
+        # exactly 16 count passes (a loose (-32769, 32768] bracket costs
+        # a 17th pass for the same bit-identical kth)
+        kth, n_gt = _kth_keys(keys, k, n_iters=16, lo_init=-32768,
+                              hi_init=32767)
     elif key_bits == 8:
         # sign+exponent ranking: scores collapse to their top 8 bits
-        # (sign + 7 exponent bits), the search drops to 9 iterations.
-        # Rows tie whenever two scores share a power-of-two bracket; the
-        # rank machinery still picks exactly k, lowest index first.  For
-        # the exponent-based predictors (whose scores are sums of ±2^e
-        # terms) the measured softmax-mass recall is within noise of exact
-        # selection — see tools/keybits_quality.py.
+        # (sign + 7 exponent bits), the search drops to 8 iterations
+        # (exact 256-value bracket [-128, 127], same invariant note as
+        # key_bits=16).  Rows tie whenever two scores share a power-of-two
+        # bracket; the rank machinery still picks exactly k, lowest index
+        # first.  For the exponent-based predictors (whose scores are sums
+        # of ±2^e terms) the measured softmax-mass recall is within noise
+        # of exact selection — see tools/keybits_quality.py.
         keys = jax.lax.shift_right_arithmetic(keys, 24)
-        kth = _kth_keys(keys, k, n_iters=9, lo_init=-129, hi_init=128)
+        kth, n_gt = _kth_keys(keys, k, n_iters=8, lo_init=-128, hi_init=127)
     else:
-        kth = _kth_keys(keys, k)
+        kth, n_gt = _kth_keys(keys, k)
     gt = keys > kth
     eq = keys == kth
-    n_gt = jnp.sum(gt.astype(jnp.int32), axis=0, keepdims=True)
     # lowest-index-first tie rank via inclusive lower-triangular matmul:
     # rank[c, r] = sum_{c' <= c} eq[c', r].  The triangle is generated
     # TRANSPOSED (tri[c', c] = c' <= c) and contracted over dim 0 so the

@@ -73,7 +73,7 @@ def _cell(q_nd, k_nd, v_nd, o_ref, c, mode):
         sel = s_sel > neg  # all true
     else:
         keys = jax.lax.shift_right_arithmetic(_mono_keys(s_sel), 24)
-        kth = _kth_keys(keys, K, n_iters=9, lo_init=-129, hi_init=128)
+        kth, _ = _kth_keys(keys, K, n_iters=8, lo_init=-128, hi_init=127)
         gt = keys > kth
         eq = keys == kth
         n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
@@ -309,7 +309,7 @@ def make_batched():
         P = jnp.concatenate(ssels, axis=0)
 
         keys = jax.lax.shift_right_arithmetic(_mono_keys(P), 16)
-        kth = _kth_keys(keys, K, n_iters=17, lo_init=-32769, hi_init=32768)
+        kth, _ = _kth_keys(keys, K, n_iters=16, lo_init=-32768, hi_init=32767)
         gt = keys > kth
         eq = keys == kth
         n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
