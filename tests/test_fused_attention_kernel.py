@@ -289,3 +289,29 @@ def test_fused_kernel_elsa_long_sequence():
         ref = _xla_topk_dense(q, k, v, D ** -0.5, FUSED, cfg, None, om)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_kth_keys_brackets_and_ngt_carry():
+    """The bisection k-th search with EXACT brackets (8-bit keys: 256
+    values in 8 passes; 16-bit: 16) must return the true k-th largest key
+    per column, and the n_gt count threaded through the carry must equal
+    count(keys > kth) — the invariant that let the separate post-search
+    count pass be deleted."""
+    from mx_quantization_tpu.ops.kernels.topk_attention import _kth_keys
+    rng = np.random.RandomState(0)
+    for bits, n_iters, lo, hi in [(8, 8, -128, 127),
+                                  (16, 16, -32768, 32767)]:
+        # adversarial spread: full range, heavy ties, and boundary values
+        vals = np.concatenate([
+            rng.randint(lo, hi + 1, size=(40, 33)),
+            np.full((4, 33), lo), np.full((4, 33), hi),
+            rng.randint(-2, 3, size=(16, 33)),
+        ]).astype(np.int32)
+        for k in (1, 5, vals.shape[0] - 1):
+            kth, n_gt = jax.jit(
+                lambda v: _kth_keys(v, k, n_iters=n_iters, lo_init=lo,
+                                    hi_init=hi))(jnp.asarray(vals))
+            want = np.sort(vals, axis=0)[::-1][k - 1]  # k-th largest
+            np.testing.assert_array_equal(np.asarray(kth)[0], want)
+            np.testing.assert_array_equal(
+                np.asarray(n_gt)[0], (vals > want[None, :]).sum(0))
