@@ -153,10 +153,11 @@ def vit_forward(params: Params, x: jax.Array, cfg: VitConfig,
     """Full DeiT forward: (B, 3, H, W) images -> (B, num_classes) logits."""
     B = x.shape[0]
     pe = params["patch_embed"]
-    specs = qcfg.mx_specs if qcfg.mx_quant else None
-    # Patch embedding conv is quantized like the reference's conv path.
+    # The reference surgery only replaces blocks' attn/ffn
+    # (apply_quantization_to_deit, main.py:231-318 touches model.blocks
+    # exclusively) — patch embed, norms, and head stay fp32.
     x = conv2d(x, pe["weight"], pe.get("bias"), stride=cfg.patch_size,
-               mx_specs=specs)
+               mx_specs=None)
     x = x.reshape(B, cfg.embed_dim, -1).transpose(0, 2, 1)  # (B, N, C)
     cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)

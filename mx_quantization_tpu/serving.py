@@ -57,6 +57,9 @@ class Request:
     # the server's null_condition)
     cfg_scale: float = 4.0
     key: Optional[np.ndarray] = None
+    # stamped by submit(): Result.latency_s measures from here, so queue
+    # wait is part of the reported latency
+    submit_t: float = 0.0
 
 
 @dataclasses.dataclass
@@ -64,7 +67,10 @@ class Result:
     request_id: int
     latent: np.ndarray
     steps: int
-    latency_s: float
+    latency_s: float             # completion minus submit(): INCLUDES queue
+    # wait (a burst deeper than the slot pool reports the true end-to-end
+    # request latency, not just the slot-resident denoise time)
+    queue_wait_s: float = 0.0    # slot-fill minus submit()
 
 
 class DiffusionServer:
@@ -137,8 +143,15 @@ class DiffusionServer:
             *([self._cond_sh] if self._cond_sh is not None else []))
 
         # host mirrors for scheduling only (device arrays are authoritative
-        # for compute); _host_busy includes finished-but-not-drained slots
+        # for compute); _host_busy includes finished-but-not-drained slots.
+        # _host_steps_left mirrors the device step_idx deterministically
+        # (num_steps at refill, -1 per dispatch): a slot with 0 left is
+        # finished-awaiting-drain and needs no more compute — step() skips
+        # the model dispatch when EVERY busy slot is in that state (at a
+        # full drain boundary the old loop ran one ~full model step with
+        # zero active slots).
         self._host_busy = np.zeros((slots,), bool)
+        self._host_steps_left = np.zeros((slots,), np.int64)
         self._req: List[Optional[Request]] = [None] * slots
         self._t0 = np.zeros((slots,), np.float64)
         # double-buffer: (finished_mask device ref, latents device ref) of
@@ -225,6 +238,7 @@ class DiffusionServer:
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> int:
+        req.submit_t = time.time()
         self._queue.put(req)
         return req.request_id
 
@@ -247,6 +261,7 @@ class DiffusionServer:
                 self._lat, self._step_idx, self._active, self._cond,
                 jnp.int32(s), new_cond, rk)
             self._host_busy[s] = True
+            self._host_steps_left[s] = self.num_steps
             self._req[s] = req
             self._t0[s] = time.time()
 
@@ -263,7 +278,8 @@ class DiffusionServer:
             req = self._req[s]
             latent = np.asarray(lat_dev[s])  # finished slots ONLY
             res = Result(req.request_id, latent, self.num_steps,
-                         time.time() - self._t0[s])
+                         time.time() - req.submit_t,
+                         queue_wait_s=self._t0[s] - req.submit_t)
             self._results[req.request_id] = res
             finished.append(res)
             self._host_busy[s] = False
@@ -282,12 +298,19 @@ class DiffusionServer:
         engine step device time 183 ms == the static driver step; the old
         drain-first loop measured 215 ms/step wall)."""
         new_pending = None
-        if self._host_busy.any():
+        # dispatch only when some busy slot still needs compute: at a full
+        # drain boundary every busy slot can be finished-awaiting-drain
+        # (active mask all false on device) and a dispatch would burn a
+        # whole model step on zero active slots
+        if (self._host_busy & (self._host_steps_left > 0)).any():
             self._key, sk = jax.random.split(self._key)
             (self._lat, self._step_idx, self._active, fin_dev,
              fin_lat) = self._step_jit(self.params, self._lat,
                                        self._step_idx, self._active,
                                        self._cond, sk)
+            np.subtract(self._host_steps_left,
+                        (self._host_busy & (self._host_steps_left > 0)),
+                        out=self._host_steps_left)
             new_pending = (fin_dev, fin_lat)
         results = self._drain_pending()
         self._pending = new_pending

@@ -88,10 +88,13 @@ def main():
         res = srv._results
     dt = time.perf_counter() - t0
     lats = np.array([r.latency_s for r in res.values()])
+    waits = np.array([r.queue_wait_s for r in res.values()])
     print(f"slots={args.slots} steps={args.steps} reqs={args.reqs} "
           f"arrival={args.arrival}: {len(res)/dt:.3f} imgs/sec  "
-          f"latency p50={np.percentile(lats,50):.1f}s "
-          f"p95={np.percentile(lats,95):.1f}s wall={dt:.1f}s", flush=True)
+          f"latency(from submit) p50={np.percentile(lats,50):.1f}s "
+          f"p95={np.percentile(lats,95):.1f}s  "
+          f"queue-wait p50={np.percentile(waits,50):.1f}s "
+          f"p95={np.percentile(waits,95):.1f}s wall={dt:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
