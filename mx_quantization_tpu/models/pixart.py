@@ -219,6 +219,41 @@ def _mha(p, x, kv, cfg: PixArtConfig, specs, attn_cfg, bias=None,
                   mx_specs=mxs)
 
 
+def pixart_block_apply(bp: Params, x: jax.Array, ctx: jax.Array,
+                       t6: jax.Array, cfg: PixArtConfig, specs,
+                       self_cfg, cross_cfg, bias=None,
+                       orthogonal_matrix=None,
+                       act_dtype=jnp.float32) -> jax.Array:
+    """One MXBasicTransformerBlock (MX_transformer_block.py:364-485,
+    ada_norm_single): adaLN-single modulation + MX self-attn + cross-attn
+    (bias added to both true and predicted scores inside topk_attention)
+    + MX'd GELU-tanh feed-forward.  Exposed separately so the per-block
+    torch goldens (tests/test_pixart_model_golden.py) can drive a single
+    block with reference-computed inputs."""
+    B = x.shape[0]
+    d = cfg.inner_dim
+    mxs = specs if self_cfg.mx_quant else None
+    mods = (bp["scale_shift_table"][None] +
+            t6.reshape(B, 6, d)).astype(act_dtype)
+    (shift_msa, scale_msa, gate_msa,
+     shift_mlp, scale_mlp, gate_mlp) = [mods[:, i][:, None]
+                                        for i in range(6)]
+    h = _ln(x, cfg.norm_eps) * (1 + scale_msa) + shift_msa
+    x = x + gate_msa * _mha(bp["attn1"], h, h, cfg, specs, self_cfg,
+                            orthogonal_matrix=orthogonal_matrix
+                            ).astype(act_dtype)
+    # PixArt: no norm before cross-attn (MX_transformer_block.py:437-440)
+    x = x + _mha(bp["attn2"], x, ctx, cfg, specs, cross_cfg,
+                 bias=bias).astype(act_dtype)
+    h = _ln(x, cfg.norm_eps) * (1 + scale_mlp) + shift_mlp
+    h = linear(h, bp["ff"]["fc1"]["weight"], bp["ff"]["fc1"]["bias"],
+               mx_specs=mxs).astype(act_dtype)
+    h = jax.nn.gelu(h, approximate=True)  # "gelu-approximate"
+    h = linear(h, bp["ff"]["fc2"]["weight"], bp["ff"]["fc2"]["bias"],
+               mx_specs=mxs).astype(act_dtype)
+    return x + gate_mlp * h
+
+
 def pixart_forward(params: Params, hidden_states: jax.Array,
                    encoder_hidden_states: jax.Array, timestep: jax.Array,
                    cfg: PixArtConfig, qcfg: PixArtQuantConfig,
@@ -285,26 +320,10 @@ def pixart_forward(params: Params, hidden_states: jax.Array,
 
     def block_body(bp, cfgs, x):
         self_cfg, cross_cfg = cfgs
-        mxs = specs if self_cfg.mx_quant else None
-        mods = (bp["scale_shift_table"][None] +
-                t6.reshape(B, 6, d)).astype(act_dtype)
-        (shift_msa, scale_msa, gate_msa,
-         shift_mlp, scale_mlp, gate_mlp) = [mods[:, i][:, None]
-                                            for i in range(6)]
-        h = _ln(x, cfg.norm_eps) * (1 + scale_msa) + shift_msa
-        x = x + gate_msa * _mha(bp["attn1"], h, h, cfg, specs, self_cfg,
-                                orthogonal_matrix=orthogonal_matrix
-                                ).astype(act_dtype)
-        # PixArt: no norm before cross-attn (MX_transformer_block.py:437-440)
-        x = x + _mha(bp["attn2"], x, ctx, cfg, specs, cross_cfg,
-                     bias=bias).astype(act_dtype)
-        h = _ln(x, cfg.norm_eps) * (1 + scale_mlp) + shift_mlp
-        h = linear(h, bp["ff"]["fc1"]["weight"], bp["ff"]["fc1"]["bias"],
-                   mx_specs=mxs).astype(act_dtype)
-        h = jax.nn.gelu(h, approximate=True)  # "gelu-approximate"
-        h = linear(h, bp["ff"]["fc2"]["weight"], bp["ff"]["fc2"]["bias"],
-                   mx_specs=mxs).astype(act_dtype)
-        return x + gate_mlp * h
+        return pixart_block_apply(bp, x, ctx, t6, cfg, specs, self_cfg,
+                                  cross_cfg, bias=bias,
+                                  orthogonal_matrix=orthogonal_matrix,
+                                  act_dtype=act_dtype)
 
     cfgs = [(qcfg.self_attn_cfg(i, timestep_idx),
              qcfg.cross_attn_cfg(i, timestep_idx))

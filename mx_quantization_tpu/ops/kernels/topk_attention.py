@@ -92,6 +92,40 @@ def _quant_axis0(x, block_size, mbits, scale_bits, flush=False):
     return vals, e.reshape(nb, N)
 
 
+def _quant_axis0_pos(x, block_size, mbits, scale_bits, flush=False):
+    """_quant_axis0 for NON-NEGATIVE inputs (the attention-probability
+    rows): skips the sign/abs handling in the round (attn >= 0 always:
+    e = exp(...) >= 0, sum > 0) and the lower clip — round-half-away of a
+    non-negative value is floor(x + 0.5).  Bit-identical to _quant_axis0
+    on non-negative finite inputs and on NaN (floor/min propagate NaN the
+    same way); the scaled multiply and output multiply keep the exact
+    two-step operation order of the emulation (folding the power-of-two
+    pairs into one constant overflows/flushes for extreme block exponents
+    where the two-step chain stays finite)."""
+    K, N = x.shape
+    nb = K // block_size
+    xb = x.reshape(nb, block_size, N)
+    # keep the sign mask: a sign-carrying NaN (possible via NaN-scale
+    # scores) must rank in the block max exactly as in _quant_axis0
+    bits = jax.lax.bitcast_convert_type(xb, jnp.int32) & 0x7FFFFFFF
+    mb = jnp.max(bits, axis=1, keepdims=True)
+    if flush:
+        xb = jnp.where(mb >= 0x00800000, xb, jnp.zeros_like(xb))
+    e = (mb >> 23) - 127
+    scale_emax = 2 ** (scale_bits - 1) - 1
+    e = jnp.clip(e, -scale_emax, scale_emax)
+    inv_scale = jax.lax.bitcast_convert_type(
+        ((-e + 127) << 23).astype(jnp.int32), jnp.float32)
+    scale = jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+    half = float(2 ** (mbits - 2))
+    qmax = float(2 ** (mbits - 1) - 1)
+    scaled = xb * inv_scale * half
+    q = jnp.minimum(jnp.floor(scaled + 0.5), qmax)
+    vals = (q * (1.0 / half) * scale).reshape(K, N).astype(jnp.bfloat16)
+    return vals, e.reshape(nb, N)
+
+
 def _exp_sign_approx(qvals, exps, block_size):
     """sign(q) * 2^block_exp as bf16 (the ex_pred operand)."""
     K, N = qvals.shape
@@ -188,13 +222,19 @@ def _kth_keys(keys, k, n_iters=32, lo_init=_IMIN, hi_init=2147483647):
     greater than kth, threaded through the search carry for free —
     invariant cnt_hi == count(keys > hi) (0 at hi_init == the key max;
     the down-branch just computed it), and hi == kth at exit — so the
-    caller's separate count pass over (S, N) disappears."""
+    caller's separate count pass over (S, N) disappears.
+
+    Short searches (n_iters <= 16, the key_bits 8/16 paths) unroll in
+    Python: the iterations are serially dependent anyway, but unrolling
+    lets Mosaic software-pipeline each count pass against the previous
+    iteration's tail (measured -45us/call at the DiT shape,
+    tools/attnk3_bench.py vm+unroll)."""
     N = keys.shape[1]
     lo = jnp.full((1, N), jnp.int32(lo_init))
     hi = jnp.full((1, N), jnp.int32(hi_init))
     cnt_hi = jnp.zeros((1, N), jnp.int32)
 
-    def body(_, state):
+    def body(state):
         lo, hi, cnt_hi = state
         mid = lo + jax.lax.shift_right_logical(hi - lo, 1)
         cnt = jnp.sum((keys > mid).astype(jnp.int32), axis=0, keepdims=True)
@@ -202,13 +242,31 @@ def _kth_keys(keys, k, n_iters=32, lo_init=_IMIN, hi_init=2147483647):
         return (jnp.where(up, mid + 1, lo), jnp.where(up, hi, mid),
                 jnp.where(up, cnt_hi, cnt))
 
-    lo, hi, cnt_hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi, cnt_hi))
+    state = (lo, hi, cnt_hi)
+    if n_iters <= 16:
+        for _ in range(n_iters):
+            state = body(state)
+        lo, hi, cnt_hi = state
+    else:
+        lo, hi, cnt_hi = jax.lax.fori_loop(0, n_iters,
+                                           lambda _, s: body(s), state)
     return lo, cnt_hi
 
 
 def _mono_keys(x):
     b = jax.lax.bitcast_convert_type(x, jnp.int32)
     return jnp.where(b >= 0, b, jnp.bitwise_xor(jnp.invert(b), jnp.int32(_IMIN)))
+
+
+def _mono_keys_top(x, shift):
+    """Top (32 - shift) monotone bits directly: equals
+    ``_mono_keys(x) >> shift`` (arithmetic) in one fewer full-size pass.
+    Derivation: with h = bits >> shift, the negative branch
+    (INTMIN | (~b & 0x7FFFFFFF)) >> shift simplifies to
+    -(1 << (31 - shift)) - 1 - h."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    h = jax.lax.shift_right_arithmetic(b, shift)
+    return jnp.where(h >= 0, h, (-(1 << (31 - shift)) - 1) - h)
 
 
 def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
@@ -391,22 +449,26 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
         sel = row < s_valid
         masked = jnp.where(sel, s_true, neg)
         m = jnp.max(masked, axis=0, keepdims=True)
-        e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
+        # exp(masked - m) == where(sel, exp(s_true - m), 0) exactly: the
+        # unselected entries are -3e38, and exp underflows to +0.0 there
+        # (one full-size select saved)
+        e = jnp.exp(masked - m)
         attn_t = e / jnp.sum(e, axis=0, keepdims=True)
         if bfloat == 16:
             attn_t = _bf16_round(attn_t)
-        at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits, flush)
+        at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits, scale_bits,
+                                   flush)
         out = jax.lax.dot_general(at_q, v_q, dn,
                                   preferred_element_type=jnp.float32)
         return _bf16_round(out) if bfloat == 16 else out
 
-    keys = _mono_keys(s_sel)
     if key_bits == 16:
         # bf16-precision ranking: keys collapse to their top 16 bits, the
-        # binary search halves to 17 iterations.  Selection differs from
+        # binary search halves to 16 iterations.  Selection differs from
         # exact only between scores closer than one bf16 ulp — noise for an
         # approximate predictor (ties stay exact via the rank machinery).
-        keys = jax.lax.shift_right_arithmetic(keys, 16)
+        # _mono_keys_top fuses the monotone map with the shift.
+        keys = _mono_keys_top(s_sel, 16)
         # bracket = the exact key range [-32768, 32767]: the bisection
         # invariant is lo <= kth <= hi, so a 2^16-value interval needs
         # exactly 16 count passes (a loose (-32769, 32768] bracket costs
@@ -422,9 +484,10 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
         # first.  For the exponent-based predictors (whose scores are sums
         # of ±2^e terms) the measured softmax-mass recall is within noise
         # of exact selection — see tools/keybits_quality.py.
-        keys = jax.lax.shift_right_arithmetic(keys, 24)
+        keys = _mono_keys_top(s_sel, 24)
         kth, n_gt = _kth_keys(keys, k, n_iters=8, lo_init=-128, hi_init=127)
     else:
+        keys = _mono_keys(s_sel)
         kth, n_gt = _kth_keys(keys, k)
     gt = keys > kth
     eq = keys == kth
@@ -445,13 +508,16 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
 
     masked = jnp.where(sel, s_true, neg)
     m = jnp.max(masked, axis=0, keepdims=True)
-    e = jnp.where(sel, jnp.exp(s_true - m), jnp.zeros_like(s_true))
+    # exp(masked - m) == where(sel, exp(s_true - m), 0) exactly: unselected
+    # entries are -3e38 and exp underflows to +0.0 (one select saved)
+    e = jnp.exp(masked - m)
     attn_t = e / jnp.sum(e, axis=0, keepdims=True)
     if bfloat == 16:
         attn_t = _bf16_round(attn_t)
 
-    # attn (S, N) already has the PV blocks on sublanes — no transpose
-    at_q, _ = _quant_axis0(attn_t, block_size, mbits, scale_bits, flush)
+    # attn (S, N) already has the PV blocks on sublanes — no transpose;
+    # probabilities are non-negative, so the sign-free quantizer applies
+    at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits, scale_bits, flush)
     out = jax.lax.dot_general(at_q, v_q, dn,
                               preferred_element_type=jnp.float32)
     return _bf16_round(out) if bfloat == 16 else out
