@@ -247,11 +247,36 @@ class GaussianDiffusion:
         return x
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _discretized_gaussian_log_likelihood(x, means, log_scales):
+        """Log-likelihood of a gaussian discretized to the +-1/255 image
+        grid (reference diffusion_utils.py:62-88, tanh-approximated normal
+        CDF :39-44)."""
+        def cdf(v):
+            return 0.5 * (1.0 + jnp.tanh(
+                math.sqrt(2.0 / math.pi) * (v + 0.044715 * v ** 3)))
+
+        centered = x - means
+        inv_stdv = jnp.exp(-log_scales)
+        cdf_plus = cdf(inv_stdv * (centered + 1.0 / 255.0))
+        cdf_min = cdf(inv_stdv * (centered - 1.0 / 255.0))
+        log_cdf_plus = jnp.log(jnp.maximum(cdf_plus, 1e-12))
+        log_one_minus = jnp.log(jnp.maximum(1.0 - cdf_min, 1e-12))
+        log_delta = jnp.log(jnp.maximum(cdf_plus - cdf_min, 1e-12))
+        return jnp.where(x < -0.999, log_cdf_plus,
+                         jnp.where(x > 0.999, log_one_minus, log_delta))
+
     def training_losses(self, model: Callable, x0, t, key,
-                        model_kwargs=None) -> Dict[str, jax.Array]:
-        """MSE(eps) + VB(stop-grad mean) loss (reference :717-784)."""
+                        model_kwargs=None, noise=None
+                        ) -> Dict[str, jax.Array]:
+        """MSE(eps) + VB(stop-grad mean) loss (reference :717-784).
+
+        ``noise``: optional explicit noise tensor (reference
+        training_losses(noise=...), gaussian_diffusion.py:725) — used by
+        the torch loss-trajectory goldens to pin identical batches."""
         model_kwargs = model_kwargs or {}
-        noise = jax.random.normal(key, x0.shape, x0.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x0.shape, x0.dtype)
         xt = self.q_sample(x0, t, noise)
         out = model(xt, self.model_t(t).astype(jnp.float32), **model_kwargs)
 
@@ -268,7 +293,14 @@ class GaussianDiffusion:
                         jnp.exp(true_log_var - log_var) +
                         (true_mean - mean) ** 2 * jnp.exp(-log_var))
             axes = tuple(range(1, kl.ndim))
-            terms["vb"] = jnp.mean(kl, axis=axes) / math.log(2.0)
+            vb_kl = jnp.mean(kl, axis=axes) / math.log(2.0)
+            # at t == 0 the vb term is the DECODER NLL of the discretized
+            # gaussian, not the KL (reference _vb_terms_bpd,
+            # gaussian_diffusion.py:706-714 + diffusion_utils.py:62-88)
+            nll = -self._discretized_gaussian_log_likelihood(
+                x0, mean, 0.5 * log_var)
+            vb_nll = jnp.mean(nll, axis=axes) / math.log(2.0)
+            terms["vb"] = jnp.where(t == 0, vb_nll, vb_kl)
         else:
             eps = out
         axes = tuple(range(1, eps.ndim))
