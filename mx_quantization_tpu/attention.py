@@ -72,6 +72,23 @@ _KERNEL_PRED_MODES = ("ex_pred", "two_step_leading_ones", "MXINT4",
 # quantization site (the DiT operating point, sample.py:36-52)
 _KERNEL_BFLOATS = (0, 16, 32)
 
+# element formats the kernel quantization handles: the MXINT grids plus
+# every MXFP grid (fp8/6/4 — the reference CUDA kernels serve all formats
+# uniformly, mx.cu:116-283; the in-kernel quantizer mirrors
+# ops/kernels/quantize.py's fp branch incl. e4m3 max_norm saturation).
+# Every grid point carries <= 8 significant bits, so the kernel's bf16
+# value storage and single-pass MXU dots stay exact for all of them.
+_KERNEL_ELEM_FORMATS = ("int8", "int4", "int2", "fp8_e4m3", "fp8_e5m2",
+                        "fp6_e3m2", "fp6_e2m3", "fp4", "fp4_e2m1")
+
+
+def _kernel_format_args(mx_specs) -> dict:
+    """mbits/ebits/emax/max_norm kernel knobs for a_elem_format."""
+    from .formats import format_params
+    ebits, mbits, emax, max_norm, _ = format_params(mx_specs.a_elem_format)
+    return dict(mbits=mbits, ebits=ebits, emax=emax,
+                max_norm=float(max_norm))
+
 
 def _kernel_elemwise_args(mx_specs) -> dict:
     """The fused kernel's elementwise-quantization knobs from the specs."""
@@ -163,7 +180,8 @@ def _fused_topk_attention_ad(q, k, v, bias, om, scale, mx_specs, cfg):
         scale_bits=mx_specs.effective_scale_bits(),
         approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
         key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype),
-        **_kernel_elemwise_args(mx_specs))
+        **_kernel_elemwise_args(mx_specs),
+        **_kernel_format_args(mx_specs))
 
 
 def _fused_ad_fwd(q, k, v, bias, om, scale, mx_specs, cfg):
@@ -197,7 +215,7 @@ def fused_qkv_eligible(mx_specs, cfg: "TopKAttentionConfig", n: int) -> bool:
         return False
     return (mx_specs is not None and mx_specs.custom_tpu == "fused"
             and cfg.mx_quant and cfg.sparse_impl == "dense" and n <= 512
-            and mx_specs.a_elem_format == "int8"
+            and mx_specs.a_elem_format in _KERNEL_ELEM_FORMATS
             and mx_specs.bfloat in _KERNEL_BFLOATS and mx_specs.fp == 0
             and (cfg.pred_mode in _KERNEL_PRED_MODES
                  or not cfg.approx_flag))
@@ -215,7 +233,8 @@ def _fused_qkv_attention_ad(qkv, num_heads, scale, mx_specs, cfg):
         scale_bits=mx_specs.effective_scale_bits(),
         approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
         key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype),
-        **_kernel_elemwise_args(mx_specs))
+        **_kernel_elemwise_args(mx_specs),
+        **_kernel_format_args(mx_specs))
 
 
 def fused_qkv_topk_attention(qkv, num_heads, scale, mx_specs, cfg):
@@ -294,7 +313,7 @@ def topk_attention(
                           and bias.shape[3] == S))
         if (mx_specs.custom_tpu == "fused" and cfg.sparse_impl == "dense"
                 and dense_bias_ok and S <= 4096
-                and mx_specs.a_elem_format == "int8"
+                and mx_specs.a_elem_format in _KERNEL_ELEM_FORMATS
                 and mx_specs.bfloat in _KERNEL_BFLOATS
                 and mx_specs.fp == 0):
             dcfg = cfg._replace(top_k=True, approx_flag=False, k=S)
@@ -342,7 +361,7 @@ def topk_attention(
     elsa_kernel_ok = cfg.pred_mode == "ELSA"
     if (fused and cfg.sparse_impl == "dense" and bias_ok
             and kernel_fits
-            and mx_specs.a_elem_format == "int8"
+            and mx_specs.a_elem_format in _KERNEL_ELEM_FORMATS
             and mx_specs.bfloat in _KERNEL_BFLOATS and mx_specs.fp == 0
             and (cfg.pred_mode in _KERNEL_PRED_MODES
                  or elsa_kernel_ok
@@ -386,7 +405,7 @@ def _gathered_sparse_attention(true_scores, idx, v, mx_specs):
     entries would actually cross block boundaries — in practice we quantize
     the gathered probabilities per-row (a strict superset: one block per row),
     which is within normal MX rounding of the dense layout and preserves
-    accuracy at the workload level (see tests/test_attention.py).
+    accuracy at the workload level (tests/test_attention_golden.py pins the dense layout).
     """
     from .ops.mx import quantize_mx_op
     from .ops.elemwise import quantize_elemwise_op

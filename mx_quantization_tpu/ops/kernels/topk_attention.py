@@ -61,13 +61,26 @@ def _bf16_round(x):
     return jax.lax.bitcast_convert_type(out, jnp.float32)
 
 
-def _quant_axis0(x, block_size, mbits, scale_bits, flush=False):
+def _quant_axis0(x, block_size, mbits, scale_bits, flush=False,
+                 ebits=0, emax=0, max_norm=0.0):
     """MX-quantize 2D x (K, N) with blocks along axis 0 (sublanes).
 
     Returns (values bf16, block exponents (K//bs, N) int32).
     flush=True zeroes blocks whose max |x| is fp32-subnormal
     (mx_flush_fp32_subnorms, mx_ops.py:282-283 — the PixArt-alpha
     operating point).
+
+    ebits == 0: int grid (MXINT).  ebits > 0: MXFP grid — private element
+    exponent clamped at the format minimum normal, mantissa rounded
+    half-away, saturate at max_norm, shared exp offset by the element emax
+    (the quantize_mx contract; same math as
+    ops/kernels/quantize.py _quantize_block_values_axis0).  Every MXFP
+    grid point carries <= 1+mbits significant bits, so the bf16 value
+    storage stays exact.  For the fp grids the returned exponents are
+    derived from the QUANTIZED values (elemwise rounding can bump the
+    block max across a power of two), matching the XLA predictors'
+    shared_exponents-of-quantized semantics
+    (predictors/exponent.py ExponentApproximation.__init__).
     """
     K, N = x.shape
     nb = K // block_size
@@ -76,23 +89,43 @@ def _quant_axis0(x, block_size, mbits, scale_bits, flush=False):
     mb = jnp.max(bits, axis=1, keepdims=True)
     if flush:
         xb = jnp.where(mb >= 0x00800000, xb, jnp.zeros_like(xb))
-    e = (mb >> 23) - 127
+    e = (mb >> 23) - 127 - emax
     scale_emax = 2 ** (scale_bits - 1) - 1
     e = jnp.clip(e, -scale_emax, scale_emax)
     inv_scale = jax.lax.bitcast_convert_type(
         ((-e + 127) << 23).astype(jnp.int32), jnp.float32)
     scale = jax.lax.bitcast_convert_type(
         ((e + 127) << 23).astype(jnp.int32), jnp.float32)
-    half = float(2 ** (mbits - 2))
-    qmax = float(2 ** (mbits - 1) - 1)
-    scaled = xb * inv_scale * half
-    q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
-    q = jnp.clip(q, -qmax, qmax)
-    vals = (q * (1.0 / half) * scale).reshape(K, N).astype(jnp.bfloat16)
-    return vals, e.reshape(nb, N)
+    if ebits == 0:
+        half = float(2 ** (mbits - 2))
+        qmax = float(2 ** (mbits - 1) - 1)
+        scaled = xb * inv_scale * half
+        q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+        q = jnp.clip(q, -qmax, qmax)
+        vals = (q * (1.0 / half) * scale).reshape(K, N).astype(jnp.bfloat16)
+        return vals, e.reshape(nb, N)
+
+    scaled = xb * inv_scale
+    min_exp = -(2 ** (ebits - 1)) + 2
+    sb = jax.lax.bitcast_convert_type(scaled, jnp.int32) & 0x7FFFFFFF
+    pe = jnp.maximum((sb >> 23) - 127, min_exp)
+    sp_e = jnp.clip(pe - (mbits - 2), -126, 127)
+    spacing = jax.lax.bitcast_convert_type(
+        ((sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
+    inv_spacing = jax.lax.bitcast_convert_type(
+        ((-sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
+    sm = scaled * inv_spacing
+    q = jnp.sign(sm) * jnp.floor(jnp.abs(sm) + 0.5)
+    out = jnp.clip(q * spacing, -max_norm, max_norm) * scale
+    # predictor exponents from the quantized values (see docstring)
+    ob = jax.lax.bitcast_convert_type(out, jnp.int32) & 0x7FFFFFFF
+    e2 = (jnp.max(ob, axis=1, keepdims=True) >> 23) - 127
+    return (out.reshape(K, N).astype(jnp.bfloat16),
+            e2.reshape(nb, N))
 
 
-def _quant_axis0_pos(x, block_size, mbits, scale_bits, flush=False):
+def _quant_axis0_pos(x, block_size, mbits, scale_bits, flush=False,
+                     ebits=0, emax=0, max_norm=0.0):
     """_quant_axis0 for NON-NEGATIVE inputs (the attention-probability
     rows): skips the sign/abs handling in the round (attn >= 0 always:
     e = exp(...) >= 0, sum > 0) and the lower clip — round-half-away of a
@@ -111,18 +144,33 @@ def _quant_axis0_pos(x, block_size, mbits, scale_bits, flush=False):
     mb = jnp.max(bits, axis=1, keepdims=True)
     if flush:
         xb = jnp.where(mb >= 0x00800000, xb, jnp.zeros_like(xb))
-    e = (mb >> 23) - 127
+    e = (mb >> 23) - 127 - emax
     scale_emax = 2 ** (scale_bits - 1) - 1
     e = jnp.clip(e, -scale_emax, scale_emax)
     inv_scale = jax.lax.bitcast_convert_type(
         ((-e + 127) << 23).astype(jnp.int32), jnp.float32)
     scale = jax.lax.bitcast_convert_type(
         ((e + 127) << 23).astype(jnp.int32), jnp.float32)
-    half = float(2 ** (mbits - 2))
-    qmax = float(2 ** (mbits - 1) - 1)
-    scaled = xb * inv_scale * half
-    q = jnp.minimum(jnp.floor(scaled + 0.5), qmax)
-    vals = (q * (1.0 / half) * scale).reshape(K, N).astype(jnp.bfloat16)
+    if ebits == 0:
+        half = float(2 ** (mbits - 2))
+        qmax = float(2 ** (mbits - 1) - 1)
+        scaled = xb * inv_scale * half
+        q = jnp.minimum(jnp.floor(scaled + 0.5), qmax)
+        vals = (q * (1.0 / half) * scale).reshape(K, N).astype(jnp.bfloat16)
+        return vals, e.reshape(nb, N)
+
+    scaled = xb * inv_scale
+    min_exp = -(2 ** (ebits - 1)) + 2
+    sb = jax.lax.bitcast_convert_type(scaled, jnp.int32)  # x >= 0
+    pe = jnp.maximum((sb >> 23) - 127, min_exp)
+    sp_e = jnp.clip(pe - (mbits - 2), -126, 127)
+    spacing = jax.lax.bitcast_convert_type(
+        ((sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
+    inv_spacing = jax.lax.bitcast_convert_type(
+        ((-sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
+    q = jnp.floor(scaled * inv_spacing + 0.5)
+    out = jnp.minimum(q * spacing, max_norm) * scale
+    vals = out.reshape(K, N).astype(jnp.bfloat16)
     return vals, e.reshape(nb, N)
 
 
@@ -271,7 +319,8 @@ def _mono_keys_top(x, shift):
 
 def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
                       s_valid, d_valid, approx, pred_mode, key_bits, cells,
-                      out_dtype, has_bias, bfloat, flush):
+                      out_dtype, has_bias, bfloat, flush,
+                      ebits=0, emax=0, max_norm=0.0):
     """``cells`` (batch*head) cells per grid step; q (cells, N, D),
     k/v (cells, S, D), optional bias (cells, 1, S), out (cells, N, D).
 
@@ -296,12 +345,13 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
                   k=k, scale=scale, s_valid=s_valid, d_valid=d_valid,
                   approx=approx, pred_mode=pred_mode, key_bits=key_bits,
                   out_dtype=out_dtype, bfloat=bfloat, flush=flush,
+                  ebits=ebits, emax=emax, max_norm=max_norm,
                   proj_mat=None if p_ref is None else p_ref[:])
 
 
 def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
                pred_mode="ex_pred", side="q", proj=None, bfloat=0,
-               flush=False):
+               flush=False, ebits=0, emax=0, max_norm=0.0):
     """(n, D) tile -> transposed quantized operand (Dp, n) bf16 and, when
     ``approx``, the exp-sign predictor operand (Dp, n) bf16.
 
@@ -319,7 +369,8 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
     if Dp - D:
         xt = jnp.concatenate(
             [xt, jnp.zeros((Dp - D, n), jnp.float32)], axis=0)
-    vals, exps = _quant_axis0(xt, block_size, mbits, scale_bits, flush)
+    vals, exps = _quant_axis0(xt, block_size, mbits, scale_bits, flush,
+                              ebits, emax, max_norm)
     if not approx:
         return vals, None
     if pred_mode == "ELSA":
@@ -340,7 +391,7 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
     if pred_mode == "MXINT4":
         # Sanger: requantize the ORIGINAL side to MXINT4 (the library
         # quantizes self.Q/self.K, not the int8 values); zeros stay zero
-        v4, _ = _quant_axis0(xt, block_size, 4, scale_bits, flush)
+        v4, _ = _quant_axis0(xt, block_size, 4, scale_bits, flush)  # int4
         return vals, v4
     if ((pred_mode == "partial_K" and side == "k")
             or (pred_mode == "partial_Q" and side == "q")):
@@ -367,28 +418,30 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
 
 def _one_cell(q_nd, k_nd, v_nd, bias_col, o_ref, c, *, block_size, mbits,
               scale_bits, k, scale, s_valid, d_valid, approx, pred_mode,
-              key_bits, out_dtype, proj_mat=None, bfloat=0, flush=False):
+              key_bits, out_dtype, proj_mat=None, bfloat=0, flush=False,
+              ebits=0, emax=0, max_norm=0.0):
+    fmt = dict(ebits=ebits, emax=emax, max_norm=max_norm)
     qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx,
                         pred_mode, side="q", proj=proj_mat, bfloat=bfloat,
-                        flush=flush)
+                        flush=flush, **fmt)
     kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, d_valid, approx,
                         pred_mode, side="k", proj=proj_mat, bfloat=bfloat,
-                        flush=flush)
+                        flush=flush, **fmt)
     v32 = v_nd.astype(jnp.float32)
     if bfloat == 16:
         v32 = _bf16_round(v32)
-    v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush)
+    v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush, **fmt)
     o_ref[c] = _score_select_output(
         qv, aq, kv, ak, v_q, bias_col, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
         approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-        bfloat=bfloat, flush=flush).astype(out_dtype)
+        bfloat=bfloat, flush=flush, **fmt).astype(out_dtype)
 
 
 def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
                          mbits, scale_bits, k, scale, s_valid, approx,
                          key_bits, pred_mode="ex_pred", bfloat=0,
-                         flush=False):
+                         flush=False, ebits=0, emax=0, max_norm=0.0):
     """Quantized operands (Dp, N)/(Dp, S) + v_q (S, D) -> attention (N, D)
     f32: true/pred scores, exact top-k selection, masked softmax, PV.
 
@@ -457,7 +510,7 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
         if bfloat == 16:
             attn_t = _bf16_round(attn_t)
         at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits, scale_bits,
-                                   flush)
+                                   flush, ebits, emax, max_norm)
         out = jax.lax.dot_general(at_q, v_q, dn,
                                   preferred_element_type=jnp.float32)
         return _bf16_round(out) if bfloat == 16 else out
@@ -517,7 +570,8 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
 
     # attn (S, N) already has the PV blocks on sublanes — no transpose;
     # probabilities are non-negative, so the sign-free quantizer applies
-    at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits, scale_bits, flush)
+    at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits, scale_bits, flush,
+                               ebits, emax, max_norm)
     out = jax.lax.dot_general(at_q, v_q, dn,
                               preferred_element_type=jnp.float32)
     return _bf16_round(out) if bfloat == 16 else out
@@ -525,7 +579,8 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
 
 def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
                             s_valid, d_valid, approx, pred_mode, key_bits,
-                            out_dtype, has_bias, bfloat, flush):
+                            out_dtype, has_bias, bfloat, flush,
+                            ebits=0, emax=0, max_norm=0.0):
     """Query-tiled variant for long sequences (N > 512): grid (G, N/QT);
     each step attends one query tile against the FULL key/value set.  The
     quantized K side (kv, predictor operand, v_q) is computed once per cell
@@ -549,30 +604,36 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
     def _():
         kv, ak = _prep_side(k_ref[0], block_size, mbits, scale_bits,
                             d_valid, approx, pred_mode, side="k",
-                            proj=proj, bfloat=bfloat, flush=flush)
+                            proj=proj, bfloat=bfloat, flush=flush,
+                            ebits=ebits, emax=emax, max_norm=max_norm)
         kv_s[:] = kv
         if approx:
             ak_s[:] = ak
         v32 = v_ref[0].astype(jnp.float32)
         if bfloat == 16:
             v32 = _bf16_round(v32)
-        vq, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush)
+        vq, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush,
+                             ebits, emax, max_norm)
         vq_s[:] = vq
 
     qv, aq = _prep_side(q_ref[0], block_size, mbits, scale_bits, d_valid,
                         approx, pred_mode, side="q", proj=proj,
-                        bfloat=bfloat, flush=flush)
+                        bfloat=bfloat, flush=flush,
+                        ebits=ebits, emax=emax, max_norm=max_norm)
     bias_col = None if b_ref is None else b_ref[0]
     o_ref[0] = _score_select_output(
         qv, aq, kv_s[:], ak_s[:] if approx else None, vq_s[:], bias_col,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
         scale=scale, s_valid=s_valid, approx=approx, pred_mode=pred_mode,
-        key_bits=key_bits, bfloat=bfloat, flush=flush).astype(out_dtype)
+        key_bits=key_bits, bfloat=bfloat, flush=flush,
+        ebits=ebits, emax=emax, max_norm=max_norm).astype(out_dtype)
 
 
 def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
                      mbits, scale_bits, k, scale, s_valid, approx, pred_mode,
-                     key_bits, out_dtype, bfloat, flush):
+                     key_bits, out_dtype, bfloat, flush,
+                     ebits=0, emax=0, max_norm=0.0):
+    fmt = dict(ebits=ebits, emax=emax, max_norm=max_norm)
     """One batch row per grid step: x (1, Np, 3*H*D) is the fused qkv
     linear output (feature order (3, H, D)); all H heads are attended
     in-VMEM and the output is written proj-ready as (1, Np, H*D) — no
@@ -585,18 +646,21 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
         k_nd = x[:, (H + h) * D:(H + h + 1) * D]
         v_nd = x[:, (2 * H + h) * D:(2 * H + h + 1) * D]
         qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, D, approx,
-                            pred_mode, side="q", bfloat=bfloat, flush=flush)
+                            pred_mode, side="q", bfloat=bfloat, flush=flush,
+                            **fmt)
         kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, D, approx,
-                            pred_mode, side="k", bfloat=bfloat, flush=flush)
+                            pred_mode, side="k", bfloat=bfloat, flush=flush,
+                            **fmt)
         v32 = v_nd.astype(jnp.float32)
         if bfloat == 16:
             v32 = _bf16_round(v32)
-        v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush)
+        v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush,
+                              **fmt)
         outs.append(_score_select_output(
             qv, aq, kv, ak, v_q, None, block_size=block_size, mbits=mbits,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
             approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-            bfloat=bfloat, flush=flush).astype(out_dtype))
+            bfloat=bfloat, flush=flush, **fmt).astype(out_dtype))
     o_ref[0] = jnp.concatenate(outs, axis=1)
 
 
@@ -605,7 +669,8 @@ def _qkv_impl(qkv, num_heads: int = 0, *, k: int, scale: float,
               scale_bits: int = 8, approx: bool = True,
               pred_mode: str = "ex_pred",
               key_bits: int = 32, out_dtype=jnp.float32,
-              bfloat: int = 0, flush: bool = False):
+              bfloat: int = 0, flush: bool = False,
+              ebits: int = 0, emax: int = 0, max_norm: float = 0.0):
     """(B, N, 3*H*D) fused-qkv activations -> (B, N, H*D) attention output.
 
     Self-attention fast path for models with a single fused qkv projection
@@ -624,7 +689,8 @@ def _qkv_impl(qkv, num_heads: int = 0, *, k: int, scale: float,
         _qkv_attn_kernel, num_heads=H, head_dim=D, block_size=block_size,
         mbits=mbits, scale_bits=scale_bits, k=k, scale=scale, s_valid=N,
         approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-        out_dtype=out_dtype, bfloat=bfloat, flush=flush)
+        out_dtype=out_dtype, bfloat=bfloat, flush=flush,
+        ebits=ebits, emax=emax, max_norm=max_norm)
     out = pl.pallas_call(
         kern,
         grid=(B,),
@@ -655,7 +721,8 @@ def _split_impl(q, k_, v, bias=None, proj=None, *, k: int,
                 scale_bits: int = 8, approx: bool = True,
                 pred_mode: str = "ex_pred",
                 key_bits: int = 32, out_dtype=jnp.float32,
-                bfloat: int = 0, flush: bool = False):
+                bfloat: int = 0, flush: bool = False,
+                ebits: int = 0, emax: int = 0, max_norm: float = 0.0):
     """(B, H, N, D) q x (B, H, S, D) k/v -> (B, H, N, D) in ``out_dtype``.
 
     approx=True selects by the predictor given by pred_mode; False by the
@@ -723,7 +790,8 @@ def _split_impl(q, k_, v, bias=None, proj=None, *, k: int,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
             approx=approx, pred_mode=pred_mode, key_bits=key_bits,
             cells=cells, out_dtype=out_dtype, has_bias=brow is not None,
-            bfloat=bfloat, flush=flush)
+            bfloat=bfloat, flush=flush,
+            ebits=ebits, emax=emax, max_norm=max_norm)
         out = pl.pallas_call(
             kern,
             grid=(G // cells,),
@@ -771,7 +839,8 @@ def _split_impl(q, k_, v, bias=None, proj=None, *, k: int,
             scale_bits=scale_bits, k=k, scale=scale, s_valid=S, d_valid=D,
             approx=approx, pred_mode=pred_mode, key_bits=key_bits,
             out_dtype=out_dtype, has_bias=brow is not None,
-            bfloat=bfloat, flush=flush)
+            bfloat=bfloat, flush=flush,
+            ebits=ebits, emax=emax, max_norm=max_norm)
         out = pl.pallas_call(
             kern,
             grid=(G, Np // QT),
@@ -844,14 +913,17 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
                          scale_bits: int = 8, approx: bool = True,
                          pred_mode: str = "ex_pred",
                          key_bits: int = 32, out_dtype=jnp.float32,
-                         bfloat: int = 0, flush: bool = False):
+                         bfloat: int = 0, flush: bool = False,
+                         ebits: int = 0, emax: int = 0,
+                         max_norm: float = 0.0):
     """Public split-q/k/v entry — see _split_impl for the math.  Under an
     ambient mesh the call shard_maps over (data -> batch, model -> heads);
     single-device it calls the kernel directly."""
     impl = functools.partial(
         _split_impl, k=k, scale=scale, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, approx=approx, pred_mode=pred_mode,
-        key_bits=key_bits, out_dtype=out_dtype, bfloat=bfloat, flush=flush)
+        key_bits=key_bits, out_dtype=out_dtype, bfloat=bfloat, flush=flush,
+        ebits=ebits, emax=emax, max_norm=max_norm)
     mesh = _ambient_mesh()
     if mesh is None:
         return impl(q, k_, v, bias, proj)
@@ -887,7 +959,9 @@ def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
                              scale_bits: int = 8, approx: bool = True,
                              pred_mode: str = "ex_pred",
                              key_bits: int = 32, out_dtype=jnp.float32,
-                             bfloat: int = 0, flush: bool = False):
+                             bfloat: int = 0, flush: bool = False,
+                             ebits: int = 0, emax: int = 0,
+                             max_norm: float = 0.0):
     """Public qkv-direct entry — see _qkv_impl.  Under an ambient mesh it
     shard_maps over batch only (the fused-qkv feature axis interleaves
     (3, H, D) groups, so head sharding does not apply here; model-parallel
@@ -897,7 +971,8 @@ def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
         _qkv_impl, num_heads=num_heads, k=k, scale=scale,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits,
         approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-        out_dtype=out_dtype, bfloat=bfloat, flush=flush)
+        out_dtype=out_dtype, bfloat=bfloat, flush=flush,
+        ebits=ebits, emax=emax, max_norm=max_norm)
     mesh = _ambient_mesh()
     if mesh is None:
         return impl(qkv)

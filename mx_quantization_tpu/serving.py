@@ -73,6 +73,53 @@ class Result:
     queue_wait_s: float = 0.0    # slot-fill minus submit()
 
 
+def engine_step(model_fn, diffusion, null_condition, cfg_scale, slots,
+                params, lat, step_idx, active, cond, key):
+    """One denoise step for every slot at its own timestep (the device
+    program at the heart of the server, exposed module-level so the
+    multi-host topology probe can AOT-compile it without instantiating
+    device state — tools/serving_topology_probe.py).
+
+    Returns (new_lat, new_step_idx, new_active, finished, fin_lat): a
+    slot at step_idx == 0 runs its final (no-noise) step and flips to
+    finished.  ``finished`` and ``fin_lat`` (the finished slots'
+    latents, zeros elsewhere) are FRESH output buffers — the pool
+    buffers are donated, so these are what the host may still fetch
+    after the NEXT step has been dispatched (dispatch-first drain).
+    """
+    S = slots
+    diff = diffusion
+    t = jnp.asarray(diff.timestep_map)[step_idx].astype(jnp.float32)
+
+    # CFG doubling: cond batch then null batch
+    lat2 = jnp.concatenate([lat, lat], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    cond2 = jax.tree.map(
+        lambda c, n: jnp.concatenate(
+            [c, jnp.broadcast_to(jnp.asarray(n), c.shape)], axis=0),
+        cond, null_condition)
+    out = (model_fn(params, lat2, t2, cond2)
+           if params is not None else model_fn(lat2, t2, cond2))
+    # CFG on the first 3 channels only (reference models.py:452-476)
+    eps_all, rest = out[:, :3], out[:, 3:]
+    c_eps, u_eps = jnp.split(eps_all, 2, axis=0)
+    eps = u_eps + cfg_scale * (c_eps - u_eps)
+    model_out = jnp.concatenate([eps, rest[:S]], axis=1)
+
+    mean, log_var, _ = diff.p_mean_variance(model_out, lat, step_idx)
+    noise = jax.random.normal(key, lat.shape, lat.dtype)
+    nonzero = (step_idx > 0).astype(lat.dtype)[:, None, None, None]
+    new_lat = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+    new_lat = jnp.where(active[:, None, None, None], new_lat, lat)
+
+    finished = active & (step_idx == 0)
+    new_active = active & ~finished
+    new_step_idx = jnp.where(new_active, step_idx - 1, step_idx)
+    fin_lat = jnp.where(finished[:, None, None, None], new_lat,
+                        jnp.zeros_like(new_lat))
+    return new_lat, new_step_idx, new_active, finished, fin_lat
+
+
 class DiffusionServer:
     """Continuous-batching sampler around a CFG denoise model.
 
@@ -195,46 +242,9 @@ class DiffusionServer:
 
     # ------------------------------------------------------------------
     def _engine_step(self, params, lat, step_idx, active, cond, key):
-        """One denoise step for every slot at its own timestep.
-
-        Returns (new_lat, new_step_idx, new_active, finished, fin_lat): a
-        slot at step_idx == 0 runs its final (no-noise) step and flips to
-        finished.  ``finished`` and ``fin_lat`` (the finished slots'
-        latents, zeros elsewhere) are FRESH output buffers — the pool
-        buffers are donated, so these are what the host may still fetch
-        after the NEXT step has been dispatched (dispatch-first drain).
-        """
-        S = self.slots
-        diff = self.diffusion
-        t = jnp.asarray(diff.timestep_map)[step_idx].astype(jnp.float32)
-
-        # CFG doubling: cond batch then null batch
-        lat2 = jnp.concatenate([lat, lat], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        cond2 = jax.tree.map(
-            lambda c, n: jnp.concatenate(
-                [c, jnp.broadcast_to(jnp.asarray(n), c.shape)], axis=0),
-            cond, self._null)
-        out = (self.model_fn(params, lat2, t2, cond2)
-               if params is not None else self.model_fn(lat2, t2, cond2))
-        # CFG on the first 3 channels only (reference models.py:452-476)
-        eps_all, rest = out[:, :3], out[:, 3:]
-        c_eps, u_eps = jnp.split(eps_all, 2, axis=0)
-        eps = u_eps + self.cfg_scale * (c_eps - u_eps)
-        model_out = jnp.concatenate([eps, rest[:S]], axis=1)
-
-        mean, log_var, _ = diff.p_mean_variance(model_out, lat, step_idx)
-        noise = jax.random.normal(key, lat.shape, lat.dtype)
-        nonzero = (step_idx > 0).astype(lat.dtype)[:, None, None, None]
-        new_lat = mean + nonzero * jnp.exp(0.5 * log_var) * noise
-        new_lat = jnp.where(active[:, None, None, None], new_lat, lat)
-
-        finished = active & (step_idx == 0)
-        new_active = active & ~finished
-        new_step_idx = jnp.where(new_active, step_idx - 1, step_idx)
-        fin_lat = jnp.where(finished[:, None, None, None], new_lat,
-                            jnp.zeros_like(new_lat))
-        return new_lat, new_step_idx, new_active, finished, fin_lat
+        return engine_step(self.model_fn, self.diffusion, self._null,
+                           self.cfg_scale, self.slots, params, lat,
+                           step_idx, active, cond, key)
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> int:

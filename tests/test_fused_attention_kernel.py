@@ -315,3 +315,62 @@ def test_kth_keys_brackets_and_ngt_carry():
             np.testing.assert_array_equal(np.asarray(kth)[0], want)
             np.testing.assert_array_equal(
                 np.asarray(n_gt)[0], (vals > want[None, :]).sum(0))
+
+
+# ---------------------------------------------------------------------
+# MXFP element formats in the kernel (round-3: the reference CUDA kernels
+# serve every element format uniformly, mx.cu:116-283 — the fused kernel
+# now does too)
+# ---------------------------------------------------------------------
+@pytest.mark.parametrize("fmt", ["fp8_e4m3", "fp8_e5m2", "fp6_e2m3",
+                                 "fp4_e2m1", "int4"])
+@pytest.mark.parametrize("pred_mode", ["ex_pred", "two_step_leading_ones"])
+@pytest.mark.slow
+def test_fused_kernel_mxfp_formats(fmt, pred_mode):
+    """Kernel vs the XLA fused path at MXFP/INT4 element formats,
+    including e4m3 max_norm saturation and the derived-from-quantized
+    predictor exponents."""
+    from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                               topk_attention)
+    specs = finalize_mx_specs(dict(
+        w_elem_format=fmt, a_elem_format=fmt, scale_bits=8, block_size=32,
+        quantize_backprop=False, custom_tpu="fused"))
+    q = rand(1, 2, 100, 72, seed=31)
+    k = rand(1, 2, 100, 72, seed=32)
+    v = rand(1, 2, 100, 72, seed=33)
+    scale = 72 ** -0.5
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=20,
+                              approx_flag=True, pred_mode=pred_mode)
+    out_k, idx = topk_attention(q, k, v, scale, specs, cfg)
+    assert idx is None, "MXFP formats must route through the fused kernel"
+
+    true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=specs,
+                         mode_config="aa") * scale
+    sel = predict_scores(q, k, specs, pred_mode)
+    attn = _sparse_softmax_threshold(true_scores, sel, 20)
+    out_x = matmul(attn, v, mx_specs=specs, mode_config="aa")
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_kernel_mxfp_dense():
+    """Dense (k = S) kernel branch at mxfp8_e4m3: the excluded-block path
+    for fp operating points."""
+    from mx_quantization_tpu.attention import (TopKAttentionConfig,
+                                               topk_attention)
+    specs = finalize_mx_specs(dict(
+        w_elem_format="fp8_e4m3", a_elem_format="fp8_e4m3", scale_bits=8,
+        block_size=32, quantize_backprop=False, custom_tpu="fused"))
+    q = rand(1, 2, 64, 64, seed=41)
+    k = rand(1, 2, 64, 64, seed=42)
+    v = rand(1, 2, 64, 64, seed=43)
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=False)
+    out_k, _ = topk_attention(q, k, v, 0.125, specs, cfg)
+
+    true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=specs,
+                         mode_config="aa") * 0.125
+    attn = jax.nn.softmax(true_scores, axis=-1)
+    out_x = matmul(attn, v, mx_specs=specs, mode_config="aa")
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)

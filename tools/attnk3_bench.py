@@ -314,7 +314,7 @@ def main():
     print(f"prod: {t*1e6:.0f}us/call", flush=True)
 
     modes = os.environ.get(
-        "MODES", "base,vm+mxc+unroll,v3,v4,v3+v4,vm+mxc+unroll+v3+v4,nosel,nosel+noaq,nosel+noexp,nosel+nopred,nosel+noprep+nopred+noaq+noexp").split(",")
+        "MODES", "base,vm+unroll,v4,vm+unroll+v4,nosel,nosel+noaq,nosel+noexp,nosel+nopred,nosel+noprep+nopred+noaq+noexp").split(",")
     for mode in modes:
         fn = make(mode)
         o = np.asarray(fn(q, k, v), np.float32)

@@ -74,3 +74,23 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def fp_point():
+    """MXFP8-e4m3 kernel timing point (round-3: fp formats in-kernel)."""
+    q = jax.random.normal(jax.random.key(0), (B, H, N, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(1), (B, H, N, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (B, H, N, D), jnp.bfloat16)
+
+    @jax.jit
+    def fn(q, k, v):
+        return fused_topk_attention(
+            q, k, v, k=K, scale=SCALE, approx=True, pred_mode="ex_pred",
+            key_bits=8, out_dtype=jnp.bfloat16, bfloat=16,
+            mbits=4, ebits=4, emax=8, max_norm=448.0)
+    t = timed_chain(fn, q, k, v)
+    print(f"prod mxfp8_e4m3 key_bits=8: {t*1e6:.0f}us/call", flush=True)
+
+
+if os.environ.get("FP") == "1":
+    fp_point()
