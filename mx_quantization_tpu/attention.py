@@ -44,9 +44,12 @@ class TopKAttentionConfig(NamedTuple):
     key_bits: ranking precision of the top-k selection on the fused engine —
     32 = exact f32 (matches the emulation bit-for-bit), 16 = bf16-precision
     ranking (half the selection latency; differs only between scores closer
-    than one bf16 ulp), 8 = sign+exponent ranking (9 count passes instead
-    of 17; at the DiT operating point it flips ~6/154 borderline indices
-    per row for a 0.13% softmax-mass-recall cost — tools/keybits_quality.py).
+    than one bf16 ulp), 8 = sign+exponent ranking (8 count passes instead
+    of 16).  Measured quality cost of 8: ~0.1% softmax-mass recall on
+    i.i.d. draws (tools/keybits_quality.py) but ~5.9 points on real
+    trajectory activations, whose end-to-end latent effect still sits
+    3.4x below the sampler's seed-to-seed noise floor — see
+    tools/keybits_trajectory.py and docs/ACCURACY.md ledger item 4.
     out_dtype: output dtype of the fused kernel ("float32" parity default;
     "bfloat16" halves the output HBM write in bf16-activation serving, where
     the consumer casts to bf16 immediately anyway).

@@ -1,0 +1,251 @@
+"""key_bits selection quality on REAL model-trajectory activations.
+
+Round-2 verdict weak #2: the serving default ``topk_key_bits=8`` was
+justified from i.i.d. random q/k draws (tools/keybits_quality.py), but
+real attention activations are structured (token-correlated, heavy-tailed,
+drifting over the denoise schedule).  This tool measures the same
+quantities ON TRAJECTORIES:
+
+  phase ``traj`` (run on the TPU): sample full 100-step DiT trajectories
+    with the fused engine at key_bits=8 and key_bits=32 from the SAME
+    seed, plus key_bits=32 from a different seed (the seed-to-seed noise
+    floor), saving intermediate latents of the key_bits=8 run.
+
+  phase ``analyze`` (CPU): for each saved latent, capture per-block q/k
+    from a real forward at that step and compute, per (step, block, head):
+    selection overlap kb8-vs-exact and softmax-mass recall of each
+    selection against the true top-k mass (funcs/analysis.py:136-157
+    semantics) — plus the final-latent divergence of kb8 vs kb32 compared
+    to the seed floor.
+
+Model: DiT-S/2 at input 32 — the REAL operating shape (N=256, k=154,
+D=64); weights random-init (no trained checkpoints in this environment),
+which still produces residual-stream/softmax-structured activations far
+from i.i.d.  The debug-golden weights (trained-equivalent contract scale)
+are too small for k=154 statistics.
+
+Usage:
+  python tools/keybits_trajectory.py --phase traj
+  python tools/keybits_trajectory.py --phase analyze
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT = "/root/repo/.cache/keybits_traj.npz"
+
+MODEL = "DiT-S/2"
+B = 2
+STEPS = 100
+K = 154
+CAPTURE_EVERY = 10
+
+
+def _setup(platform=None):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    os.makedirs("/root/repo/.cache/jax", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    return jax
+
+
+def _model(jax):
+    import jax.numpy as jnp
+    from mx_quantization_tpu.models import (DiT_models, DiTQuantConfig,
+                                            dit_forward_with_cfg, init_dit)
+    from mx_quantization_tpu.utils.prequantize import prequantize_weights
+    from mx_quantization_tpu.workloads.dit import dit_mx_specs
+
+    specs = dit_mx_specs("fused")
+    cfg = DiT_models[MODEL](input_size=32)
+    params = init_dit(jax.random.key(0), cfg)
+    # init_dit zero-initializes the adaLN modulations and final layer
+    # (standard DiT init): gate_msa/gate_mlp == 0 would erase every
+    # block's contribution and make trajectory divergence vacuous —
+    # randomize EVERY parameter (the golden generators do the same)
+    leaves, tree = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.key(42), len(leaves))
+    leaves = [0.1 * jax.random.normal(k, l.shape, jnp.float32)
+              for k, l in zip(keys, leaves)]
+    params = jax.tree.unflatten(tree, leaves)
+    q_params, specs = prequantize_weights(params, specs,
+                                          serve_dtype=jnp.bfloat16)
+    return cfg, specs, q_params
+
+
+def phase_traj():
+    jax = _setup()
+    import jax.numpy as jnp
+    from mx_quantization_tpu.diffusion import create_diffusion
+    from mx_quantization_tpu.models import DiTQuantConfig, dit_forward_with_cfg
+
+    cfg, specs, q_params = _model(jax)
+    diffusion = create_diffusion(str(STEPS))
+
+    def qcfg(kb):
+        return DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True,
+                              k=K, ex_pred=True, pred_mode="ex_pred",
+                              exclude_blocks=(cfg.depth - 1,),
+                              topk_key_bits=kb,
+                              activation_dtype="bfloat16")
+
+    # CFG batch doubling exactly like the reference sampler (sample.py:
+    # 98-101): z duplicated, labels then nulls, forward_with_cfg per step
+    y2 = jnp.concatenate([jnp.array([3, 7], jnp.int32),
+                          jnp.full((B,), 1000, jnp.int32)])
+
+    def run(kb, seed, capture=False):
+        qc = qcfg(kb)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def step(p, x, i, key):
+            def model(lat, t, y):
+                return dit_forward_with_cfg(p, lat, t, y, cfg, qc,
+                                            cfg_scale=4.0)
+            return diffusion.p_sample_step(model, x, i, key,
+                                           model_kwargs={"y": y2})
+
+        key = jax.random.key(seed)
+        key, nk = jax.random.split(key)
+        z = jax.random.normal(nk, (B, 4, 32, 32))
+        x = jnp.concatenate([z, z], axis=0)
+        caps = {}
+        for i in reversed(range(STEPS)):
+            if capture and (STEPS - 1 - i) % CAPTURE_EVERY == 0:
+                caps[f"lat_{STEPS - 1 - i}"] = np.asarray(x)
+            key, sk = jax.random.split(key)
+            x = step(q_params, x, jnp.int32(i), sk)
+        return np.asarray(x)[:B], caps
+
+    print("running kb=8 trajectory (with captures)...", flush=True)
+    lat8, caps = run(8, seed=100, capture=True)
+    print("running kb=32 trajectory (same seed)...", flush=True)
+    lat32, _ = run(32, seed=100)
+    print("running kb=32 trajectory (different seed)...", flush=True)
+    lat32b, _ = run(32, seed=101)
+
+    d_kb = np.linalg.norm(lat8 - lat32) / np.linalg.norm(lat32)
+    d_seed = np.linalg.norm(lat32 - lat32b) / np.linalg.norm(lat32)
+    print(f"final-latent divergence: kb8-vs-kb32 {d_kb:.4f}  "
+          f"seed-to-seed floor {d_seed:.4f}")
+    np.savez_compressed(OUT, lat8=lat8, lat32=lat32, lat32b=lat32b,
+                        d_kb=d_kb, d_seed=d_seed, **caps)
+    print("wrote", OUT)
+
+
+def phase_analyze():
+    jax = _setup("cpu")
+    import jax.numpy as jnp
+    from mx_quantization_tpu.attention import predict_scores
+    from mx_quantization_tpu.models import DiTQuantConfig
+    from mx_quantization_tpu.models import dit as dit_mod
+    from mx_quantization_tpu.models.stacked import unstack_block
+    from mx_quantization_tpu.ops.linear import matmul
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from keybits_quality import select
+
+    cfg, specs, q_params = _model(jax)
+    data = np.load(OUT)
+
+    qc = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=K,
+                        ex_pred=True, pred_mode="ex_pred",
+                        exclude_blocks=(cfg.depth - 1,),
+                        topk_key_bits=32, activation_dtype="bfloat16")
+
+    # capture q/k per block: force the split attention path and intercept
+    captured = []
+    orig_attn = dit_mod.topk_attention
+    orig_elig = dit_mod.fused_qkv_eligible
+    orig_run = dit_mod.run_blocks
+
+    def cap_attn(q, k, v, scale, mxs, attn_cfg, **kw):
+        captured.append((np.asarray(q, np.float32),
+                         np.asarray(k, np.float32), attn_cfg))
+        return orig_attn(q, k, v, scale, mxs, attn_cfg, **kw)
+
+    def run_blocks_loop(stacked, cfgs, body, x):
+        for i, c in enumerate(cfgs):
+            x = body(unstack_block(stacked, i), c, x)
+        return x
+
+    dit_mod.topk_attention = cap_attn
+    dit_mod.fused_qkv_eligible = lambda *a, **kw: False
+    dit_mod.run_blocks = run_blocks_loop
+
+    from mx_quantization_tpu.models import dit_forward_with_cfg
+
+    y = jnp.array([3, 7], jnp.int32)
+    steps = sorted(int(k.split("_")[1]) for k in data.files
+                   if k.startswith("lat_") and k != "lat_")
+    rows = []
+    for s in steps:
+        captured.clear()
+        lat = jnp.asarray(data[f"lat_{s}"])
+        t_real = jnp.full((B,), float(
+            np.asarray(  # map spaced step -> model timestep
+                __import__("mx_quantization_tpu.diffusion",
+                           fromlist=["create_diffusion"]
+                           ).create_diffusion(str(STEPS)).timestep_map
+            )[STEPS - 1 - s]))
+        _ = dit_forward_with_cfg(q_params, lat,
+                                 jnp.concatenate([t_real, t_real]),
+                                 jnp.concatenate([y, jnp.full((B,), 1000,
+                                                              jnp.int32)]),
+                                 cfg, qc, cfg_scale=4.0)
+        for bi, (q, k_, acfg) in enumerate(captured):
+            if not acfg.top_k or not acfg.approx_flag:
+                continue  # excluded (dense) block
+            Bh, H, N, D = q.shape
+            qf = q.reshape(-1, N, D)
+            kf = k_.reshape(-1, N, D)
+            pred = np.asarray(predict_scores(
+                jnp.asarray(qf), jnp.asarray(kf), specs, "ex_pred"),
+                np.float32)
+            true = np.asarray(matmul(
+                jnp.asarray(qf), jnp.swapaxes(jnp.asarray(kf), -1, -2),
+                mx_specs=specs, mode_config="aa"), np.float32) * D ** -0.5
+            keys = np.ascontiguousarray(pred).view(np.int32)
+            keys = np.where(keys >= 0, keys, ~keys ^ np.int32(-2 ** 31))
+            p = np.exp(true - true.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            t_sel = select(
+                np.where(true.view(np.int32) >= 0, true.view(np.int32),
+                         ~true.view(np.int32) ^ np.int32(-2 ** 31)), K)
+            t_mass = (p * t_sel).sum(-1)
+            s32 = select(keys, K)
+            s8 = select(keys >> 24, K)
+            m32 = (p * s32).sum(-1) / t_mass
+            m8 = (p * s8).sum(-1) / t_mass
+            ov = (s8 & s32).sum(-1) / K
+            rows.append((s, bi, m32.mean(), m8.mean(), ov.mean(),
+                         np.percentile(m8, 5)))
+
+    print("step block  recall32  recall8   overlap8/32  recall8_p5")
+    agg8, agg32, aggov = [], [], []
+    for s, bi, m32, m8, ov, p5 in rows:
+        agg8.append(m8); agg32.append(m32); aggov.append(ov)
+        print(f"{s:4d} {bi:4d}   {m32:.5f}  {m8:.5f}   {ov:.5f}      "
+              f"{p5:.5f}")
+    print(f"\nTRAJECTORY AGGREGATE: recall(kb=32)={np.mean(agg32):.5f}  "
+          f"recall(kb=8)={np.mean(agg8):.5f}  "
+          f"selection overlap kb8-vs-kb32={np.mean(aggov):.5f}")
+    print(f"final-latent divergence: kb8-vs-kb32 {float(data['d_kb']):.4f} "
+          f"vs seed-to-seed floor {float(data['d_seed']):.4f}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["traj", "analyze"], required=True)
+    a = ap.parse_args()
+    (phase_traj if a.phase == "traj" else phase_analyze)()
