@@ -360,11 +360,14 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
     the XLA-side pad+cast HBM round-trips they replace."""
     n, D = x_nd.shape
     Dp = _round_up(max(d_valid, 8), block_size)
+    already_bf16 = x_nd.dtype == jnp.bfloat16
     xt = x_nd.T.astype(jnp.float32)
-    if bfloat == 16:
+    if bfloat == 16 and not already_bf16:
         # bfloat=16 elementwise quantization of the operand before the MX
-        # quantize (the fast-path linears' bf_fast contract; identity when
-        # the operand already arrived bf16)
+        # quantize (the fast-path linears' bf_fast contract).  SKIPPED
+        # when the operand arrived bf16: every bf16 value maps to itself
+        # under the half-away round, so the pass is a bit-exact identity
+        # (the serving path always feeds bf16)
         xt = _bf16_round(xt)
     if Dp - D:
         xt = jnp.concatenate(
@@ -428,7 +431,7 @@ def _one_cell(q_nd, k_nd, v_nd, bias_col, o_ref, c, *, block_size, mbits,
                         pred_mode, side="k", proj=proj_mat, bfloat=bfloat,
                         flush=flush, **fmt)
     v32 = v_nd.astype(jnp.float32)
-    if bfloat == 16:
+    if bfloat == 16 and v_nd.dtype != jnp.bfloat16:
         v32 = _bf16_round(v32)
     v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush, **fmt)
     o_ref[c] = _score_select_output(
@@ -610,7 +613,7 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
         if approx:
             ak_s[:] = ak
         v32 = v_ref[0].astype(jnp.float32)
-        if bfloat == 16:
+        if bfloat == 16 and v_ref.dtype != jnp.bfloat16:
             v32 = _bf16_round(v32)
         vq, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush,
                              ebits, emax, max_norm)
@@ -652,7 +655,7 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
                             pred_mode, side="k", bfloat=bfloat, flush=flush,
                             **fmt)
         v32 = v_nd.astype(jnp.float32)
-        if bfloat == 16:
+        if bfloat == 16 and v_nd.dtype != jnp.bfloat16:
             v32 = _bf16_round(v32)
         v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush,
                               **fmt)
