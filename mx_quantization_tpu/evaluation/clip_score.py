@@ -49,3 +49,49 @@ def clip_score_torch(images: np.ndarray, prompts, model_path: str,
             cos = (ie * te).sum(-1)
             scores.append(100.0 * torch.clamp(cos, min=0).cpu().numpy())
     return float(np.mean(np.concatenate(scores)))
+
+
+def clip_score_jax(images: np.ndarray, prompts, model_path: str,
+                   batch: int = 64, mx_specs=None) -> float:
+    """CLIPScore with BOTH towers running in JAX on the accelerator
+    (models/clip.py, value-validated vs transformers in
+    tests/test_clip.py).  Only tokenization uses the transformers
+    CLIPTokenizer (string BPE — host-side by nature).
+
+    images: (N, H, W, 3) uint8; prompts: list[str] of the same length.
+    ``mx_specs``: optionally run the scorer MXINT-quantized.
+    """
+    import jax.numpy as jnp
+    from transformers import CLIPTokenizer
+
+    from ..models.clip import (CLIP_CONFIGS, clip_image_embed,
+                               clip_text_embed, load_clip_checkpoint,
+                               preprocess_images)
+
+    cfg = CLIP_CONFIGS["clip-vit-large-patch14"]
+    import glob
+    import os
+    cand = [model_path]
+    if os.path.isdir(model_path):
+        cand = (glob.glob(os.path.join(model_path, "*.safetensors")) +
+                glob.glob(os.path.join(model_path, "*.bin")))
+    params = load_clip_checkpoint(cand[0], cfg)
+    tok = CLIPTokenizer.from_pretrained(model_path)
+
+    scores = []
+    for i in range(0, len(images), batch):
+        ims = images[i:i + batch]
+        txt = list(prompts[i:i + batch])
+        px = preprocess_images(ims, cfg)
+        enc = tok(txt, padding="max_length", truncation=True,
+                  max_length=cfg.max_positions, return_tensors="np")
+        ie = np.asarray(clip_image_embed(params, jnp.asarray(px), cfg,
+                                         mx_specs=mx_specs), np.float32)
+        te = np.asarray(clip_text_embed(
+            params, jnp.asarray(enc["input_ids"].astype(np.int32)), cfg,
+            attention_mask=jnp.asarray(enc["attention_mask"]),
+            mx_specs=mx_specs), np.float32)
+        ie /= np.linalg.norm(ie, axis=-1, keepdims=True)
+        te /= np.linalg.norm(te, axis=-1, keepdims=True)
+        scores.append(100.0 * np.maximum((ie * te).sum(-1), 0.0))
+    return float(np.mean(np.concatenate(scores)))

@@ -181,8 +181,14 @@ def run_pixart(args) -> dict:
             ev += ["--inception", args.inception]
         out.update(eval_main(ev))
     if args.clip and prompts:
-        from ..evaluation.clip_score import clip_score_torch
-        out["clip_score"] = clip_score_torch(imgs, prompts[:n], args.clip)
+        if getattr(args, "clip_backend", "jax") == "torch":
+            from ..evaluation.clip_score import clip_score_torch
+            out["clip_score"] = clip_score_torch(imgs, prompts[:n],
+                                                 args.clip)
+        else:
+            # TPU-native scorer (models/clip.py, tests/test_clip.py)
+            from ..evaluation.clip_score import clip_score_jax
+            out["clip_score"] = clip_score_jax(imgs, prompts[:n], args.clip)
     return out
 
 
@@ -233,6 +239,10 @@ def build_argparser():
     x.add_argument("--ref", default=None)
     x.add_argument("--inception", default=None)
     x.add_argument("--clip", default=None)
+    x.add_argument("--clip-backend", default="jax",
+                   choices=["jax", "torch"],
+                   help="jax = TPU-native CLIP towers (models/clip.py); "
+                   "torch = the original transformers CPU path")
     x.add_argument("--batch", type=int, default=100)
     x.add_argument("--num-steps", type=int, default=20)
     x.add_argument("--cfg-scale", type=float, default=4.5)
