@@ -322,8 +322,8 @@ def test_kth_keys_brackets_and_ngt_carry():
 # serve every element format uniformly, mx.cu:116-283 — the fused kernel
 # now does too)
 # ---------------------------------------------------------------------
-@pytest.mark.parametrize("fmt", ["fp8_e4m3", "fp8_e5m2", "fp6_e2m3",
-                                 "fp4_e2m1", "int4"])
+@pytest.mark.parametrize("fmt", ["fp8_e4m3", "fp8_e5m2", "fp6_e3m2",
+                                 "fp6_e2m3", "fp4_e2m1", "int4", "int2"])
 @pytest.mark.parametrize("pred_mode", ["ex_pred", "two_step_leading_ones"])
 @pytest.mark.slow
 def test_fused_kernel_mxfp_formats(fmt, pred_mode):
@@ -374,3 +374,24 @@ def test_fused_kernel_mxfp_dense():
     out_x = matmul(attn, v, mx_specs=specs, mode_config="aa")
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mono_keys_top_equals_shifted_mono_keys():
+    """_mono_keys_top(x, s) must equal _mono_keys(x) >> s (arithmetic) for
+    every float class — the fused one-pass form used by the key_bits=8/16
+    searches."""
+    from mx_quantization_tpu.ops.kernels.topk_attention import (_mono_keys,
+                                                                _mono_keys_top)
+    rng = np.random.RandomState(0)
+    specials = np.array([0.0, -0.0, 1.0, -1.0, np.inf, -np.inf, np.nan,
+                         1e-45, -1e-45, 1e38, -1e38, 2.0 ** -126,
+                         -2.0 ** -126], np.float32)
+    vals = np.concatenate([rng.randn(4096).astype(np.float32) *
+                           10.0 ** rng.uniform(-30, 30, 4096
+                                               ).astype(np.float32),
+                           specials])
+    x = jnp.asarray(vals.reshape(-1, 1))
+    for shift in (16, 24):
+        want = np.asarray(_mono_keys(x)) >> shift
+        got = np.asarray(_mono_keys_top(x, shift))
+        np.testing.assert_array_equal(got, want)

@@ -87,7 +87,7 @@ def fp_point():
         return fused_topk_attention(
             q, k, v, k=K, scale=SCALE, approx=True, pred_mode="ex_pred",
             key_bits=8, out_dtype=jnp.bfloat16, bfloat=16,
-            mbits=4, ebits=4, emax=8, max_norm=448.0)
+            mbits=5, ebits=4, emax=8, max_norm=448.0)
     t = timed_chain(fn, q, k, v)
     print(f"prod mxfp8_e4m3 key_bits=8: {t*1e6:.0f}us/call", flush=True)
 

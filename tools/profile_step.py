@@ -28,7 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fp", action="store_true")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--trace-dir", default="/tmp/mx_step_trace")
     args = ap.parse_args()
@@ -38,10 +38,8 @@ def main():
                                             dit_forward_with_cfg, init_dit)
     from mx_quantization_tpu.utils.prequantize import prequantize_weights
 
-    specs = finalize_mx_specs(dict(
-        w_elem_format="int8", a_elem_format="int8", scale_bits=8,
-        block_size=32, bfloat=0, quantize_backprop=False,
-        custom_tpu="fused"))
+    from mx_quantization_tpu.workloads.dit import dit_mx_specs
+    specs = dit_mx_specs("fused")  # the EXACT bench operating point
     cfg = DiT_models["DiT-XL/2"](input_size=32)
     params = init_dit(jax.random.key(0), cfg)
     q_params, specs = prequantize_weights(params, specs,
