@@ -769,7 +769,14 @@ def _split_impl(q, k_, v, bias=None, proj=None, *, k: int,
         pmat = jnp.pad(proj.astype(jnp.float32),
                        ((0, 0), (0, Dp_e - proj.shape[1])))
     if Np <= 512 and Sp <= 512:
-        cells = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
+        # cells per grid step: more unrolled cells let Mosaic pipeline one
+        # cell's MXU matmuls against neighbors' VPU passes and amortize
+        # per-step overhead — measured 581/565/489 us at 4/8/16 cells
+        # (bit-identical outputs); 32+ regresses (VMEM pressure).
+        cells = next((c for c in (16, 8, 4, 2) if G % c == 0), 1)
+        cells_env = int(__import__("os").environ.get("MXQ_ATTN_CELLS", 0))
+        if cells_env and G % cells_env == 0:
+            cells = cells_env  # measurement override (tools/kernel_probe.py)
         operands = [qp, kp, vp]
         in_specs = [
             pl.BlockSpec((cells, Np, D), lambda g: (g, 0, 0),
