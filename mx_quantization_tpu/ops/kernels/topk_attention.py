@@ -635,36 +635,41 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
 def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
                      mbits, scale_bits, k, scale, s_valid, approx, pred_mode,
                      key_bits, out_dtype, bfloat, flush,
-                     ebits=0, emax=0, max_norm=0.0):
+                     ebits=0, emax=0, max_norm=0.0, rows=1):
+    """``rows`` batch rows per grid step: x (rows, Np, 3*H*D) is the fused
+    qkv linear output (feature order (3, H, D)); all rows*H heads are
+    attended in-VMEM and the output is written proj-ready as
+    (rows, Np, H*D) — no (3, B, H, N, D) HBM relayouts on either side.
+    rows is sized so rows*H ~= 16 unrolled cells per step (few-head models
+    like DeiT-tiny otherwise under-fill the Mosaic pipeline — same
+    measurement as the split entry's 16-cell batching)."""
     fmt = dict(ebits=ebits, emax=emax, max_norm=max_norm)
-    """One batch row per grid step: x (1, Np, 3*H*D) is the fused qkv
-    linear output (feature order (3, H, D)); all H heads are attended
-    in-VMEM and the output is written proj-ready as (1, Np, H*D) — no
-    (3, B, H, N, D) HBM relayouts on either side."""
     H, D = num_heads, head_dim
-    x = x_ref[0]
-    outs = []
-    for h in range(H):
-        q_nd = x[:, h * D:(h + 1) * D]
-        k_nd = x[:, (H + h) * D:(H + h + 1) * D]
-        v_nd = x[:, (2 * H + h) * D:(2 * H + h + 1) * D]
-        qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, D, approx,
-                            pred_mode, side="q", bfloat=bfloat, flush=flush,
-                            **fmt)
-        kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, D, approx,
-                            pred_mode, side="k", bfloat=bfloat, flush=flush,
-                            **fmt)
-        v32 = v_nd.astype(jnp.float32)
-        if bfloat == 16 and v_nd.dtype != jnp.bfloat16:
-            v32 = _bf16_round(v32)
-        v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits, flush,
-                              **fmt)
-        outs.append(_score_select_output(
-            qv, aq, kv, ak, v_q, None, block_size=block_size, mbits=mbits,
-            scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
-            approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-            bfloat=bfloat, flush=flush, **fmt).astype(out_dtype))
-    o_ref[0] = jnp.concatenate(outs, axis=1)
+    for r in range(rows):
+        x = x_ref[r]
+        outs = []
+        for h in range(H):
+            q_nd = x[:, h * D:(h + 1) * D]
+            k_nd = x[:, (H + h) * D:(H + h + 1) * D]
+            v_nd = x[:, (2 * H + h) * D:(2 * H + h + 1) * D]
+            qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, D,
+                                approx, pred_mode, side="q", bfloat=bfloat,
+                                flush=flush, **fmt)
+            kv, ak = _prep_side(k_nd, block_size, mbits, scale_bits, D,
+                                approx, pred_mode, side="k", bfloat=bfloat,
+                                flush=flush, **fmt)
+            v32 = v_nd.astype(jnp.float32)
+            if bfloat == 16 and v_nd.dtype != jnp.bfloat16:
+                v32 = _bf16_round(v32)
+            v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits,
+                                  flush, **fmt)
+            outs.append(_score_select_output(
+                qv, aq, kv, ak, v_q, None, block_size=block_size,
+                mbits=mbits, scale_bits=scale_bits, k=k, scale=scale,
+                s_valid=s_valid, approx=approx, pred_mode=pred_mode,
+                key_bits=key_bits, bfloat=bfloat, flush=flush,
+                **fmt).astype(out_dtype))
+        o_ref[r] = jnp.concatenate(outs, axis=1)
 
 
 def _qkv_impl(qkv, num_heads: int = 0, *, k: int, scale: float,
@@ -688,18 +693,23 @@ def _qkv_impl(qkv, num_heads: int = 0, *, k: int, scale: float,
     if Np != N:
         qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
 
+    # batch rows so rows*H ~= 16 unrolled cells per grid step (the split
+    # entry's measured sweet spot); few-head models (DeiT-tiny H=3) would
+    # otherwise under-fill the Mosaic pipeline
+    rows = next((r for r in (16 // max(H, 1) or 1, 4, 2)
+                 if r >= 1 and r * H <= 16 and B % r == 0), 1)
     kern = functools.partial(
         _qkv_attn_kernel, num_heads=H, head_dim=D, block_size=block_size,
         mbits=mbits, scale_bits=scale_bits, k=k, scale=scale, s_valid=N,
         approx=approx, pred_mode=pred_mode, key_bits=key_bits,
         out_dtype=out_dtype, bfloat=bfloat, flush=flush,
-        ebits=ebits, emax=emax, max_norm=max_norm)
+        ebits=ebits, emax=emax, max_norm=max_norm, rows=rows)
     out = pl.pallas_call(
         kern,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, Np, F), lambda b: (b, 0, 0),
+        grid=(B // rows,),
+        in_specs=[pl.BlockSpec((rows, Np, F), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, Np, H * D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((rows, Np, H * D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, H * D), out_dtype),
         interpret=_use_interpret(),
