@@ -144,3 +144,33 @@ def test_pipeline_real_dit_blocks():
                                               axis="model"))(params)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(pp),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_server_skips_dispatch_at_drain_boundary():
+    """At a full drain boundary every busy slot is finished-awaiting-drain;
+    step() must NOT burn a model dispatch on zero active slots (round-3
+    advisor finding).  Exactly num_steps dispatches serve a one-wave
+    workload."""
+    import jax.numpy as jnp
+
+    from mx_quantization_tpu.serving import DiffusionServer, Request
+
+    def model_fn(lat, t, y):
+        return jnp.concatenate([0.01 * lat, jnp.zeros_like(lat)], axis=1)[:, :8]
+
+    srv = DiffusionServer(model_fn, (4, 4, 4), num_steps=5, slots=4,
+                          null_condition=10)
+    calls = {"n": 0}
+    orig = srv._step_jit
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    srv._step_jit = counting
+    for i in range(4):
+        srv.submit(Request(i, i % 10))
+    res = srv.run_until_drained()
+    assert len(res) == 4
+    assert calls["n"] == 5, \
+        f"expected exactly num_steps dispatches, got {calls['n']}"
