@@ -360,8 +360,12 @@ def topk_attention(
     # ELSA runs in-kernel on both paths: hash bits are per-key/per-query,
     # so the query-tiled long-sequence kernel caches the K-side bits in
     # scratch and hashes each query tile in place; the projection matrix
-    # becomes a kernel operand
-    elsa_kernel_ok = cfg.pred_mode == "ELSA"
+    # becomes a kernel operand.  Square only — the reference's norm
+    # application indexes key norms by the QUERY position
+    # (elsa_approximation.py:139-141) and errors on Nq != Nk; ELSA never
+    # runs in cross-attention there.
+    elsa_kernel_ok = (cfg.pred_mode == "ELSA"
+                      and q.shape[-2] == k.shape[-2])
     if (fused and cfg.sparse_impl == "dense" and bias_ok
             and kernel_fits
             and mx_specs.a_elem_format in _KERNEL_ELEM_FORMATS

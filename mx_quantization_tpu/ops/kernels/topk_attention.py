@@ -444,7 +444,8 @@ def _one_cell(q_nd, k_nd, v_nd, bias_col, o_ref, c, *, block_size, mbits,
 def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
                          mbits, scale_bits, k, scale, s_valid, approx,
                          key_bits, pred_mode="ex_pred", bfloat=0,
-                         flush=False, ebits=0, emax=0, max_norm=0.0):
+                         flush=False, ebits=0, emax=0, max_norm=0.0,
+                         q_offset=0):
     """Quantized operands (Dp, N)/(Dp, S) + v_q (S, D) -> attention (N, D)
     f32: true/pred scores, exact top-k selection, masked softmax, PV.
 
@@ -479,17 +480,29 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
         s_sel = jax.lax.dot_general(ak, aq, dn,
                                     preferred_element_type=jnp.float32)
         if pred_mode == "ELSA":
-            # aq/ak are +-1 hash bits; score = ||k|| * cos(pi/bits *
-            # hamming - theta) (predictors/elsa.py approximation_scores)
+            # aq/ak are +-1 hash bits; score row r (key r on sublanes) =
+            # ||k_{COLUMN index}|| * cos(pi/bits * hamming - theta): the
+            # REFERENCE scales by the norm at the QUERY index
+            # (elsa_approximation.py:139-141 unsqueeze(-1); square
+            # self-attention only), which in the transposed (S, N) layout
+            # is a (1, N) row of key norms broadcast over sublanes
             bits = float(aq.shape[0])
             ham = 0.5 * (bits - s_sel)
             ang = jnp.maximum((jnp.pi / bits) * ham - _ELSA_THETA, 0.0)
             kvf = kv.astype(jnp.float32)
-            knorm2 = jax.lax.dot_general(
-                kvf * kvf, jnp.ones((kvf.shape[0], 1), jnp.float32), dn,
+            knorm2_row = jax.lax.dot_general(
+                jnp.ones((1, kvf.shape[0]), jnp.float32), kvf * kvf,
+                (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            s_sel = jnp.sqrt(knorm2) * jnp.cos(ang)
+            # the query-tiled path sees a (S, QT) slice of queries:
+            # select the norms at the tile's global query indices
+            # (q_offset may be a traced program_id multiple; the slice
+            # clamps at the edge — padded query lanes are discarded by
+            # the caller's output slice)
+            knorm2_row = jax.lax.dynamic_slice(
+                knorm2_row, (0, q_offset), (1, N))
+            s_sel = jnp.sqrt(knorm2_row) * jnp.cos(ang)
         if bias_col is not None:
             s_sel = s_sel + bias_col.astype(jnp.float32)
     else:
@@ -629,7 +642,8 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
         scale=scale, s_valid=s_valid, approx=approx, pred_mode=pred_mode,
         key_bits=key_bits, bfloat=bfloat, flush=flush,
-        ebits=ebits, emax=emax, max_norm=max_norm).astype(out_dtype)
+        ebits=ebits, emax=emax, max_norm=max_norm,
+        q_offset=pl.program_id(1) * q_ref.shape[1]).astype(out_dtype)
 
 
 def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,

@@ -95,7 +95,17 @@ class ElsaApproximation:
         hamming = 0.5 * (self.k - dots)
         est_angles = (jnp.pi / self.k) * hamming
         corrected = jnp.clip(est_angles - THETA_BIAS, 0.0, None)
-        return key_norms[..., None, :] * jnp.cos(corrected)
+        # REFERENCE SEMANTICS (elsa_approximation.py:139-141): the key
+        # norms are unsqueezed on the QUERY axis (`unsqueeze(-1)`), so each
+        # score ROW is scaled by the norm at the row's own index — a
+        # positive per-row constant, i.e. the selection effectively ranks
+        # by cos(angle) alone.  The ELSA paper's formula weights per KEY
+        # (`[..., None, :]`), which changes within-row ranking; the model
+        # goldens (tests/test_deit_model_golden.py ELSA case) pin the
+        # reference behavior.  Square self-attention only, like the
+        # reference (the broadcast errors otherwise — ELSA never runs in
+        # cross-attention there).
+        return key_norms[..., :, None] * jnp.cos(corrected)
 
 
 def elsa_scores(Q, K, mx_specs, orthogonal_matrix=None):

@@ -183,9 +183,14 @@ MODEL_KW = dict(img_size=32, patch_size=8, in_chans=3, embed_dim=64,
                 depth=12, num_heads=2, num_classes=10)
 
 
-def build():
+# ELSA needs head_dim 64 (the reference hardcodes the d=64 Kronecker
+# orthogonal matrix for DeiT, main.py:755-757): embed 128, 2 heads
+ELSA_MODEL_KW = dict(MODEL_KW, embed_dim=128, depth=4)
+
+
+def build(**overrides):
     torch.manual_seed(0)
-    m = DebugViT(**MODEL_KW)
+    m = DebugViT(**{**MODEL_KW, **overrides})
     g = torch.Generator().manual_seed(43)
     with torch.no_grad():
         for p in m.parameters():
@@ -195,14 +200,16 @@ def build():
 
 
 def surgered(top_k=True, k=8, approx_flag=True, pred_mode="ex_pred",
-             exclude_blocks=(2,), exclude_block_type="ex_pred"):
-    m = build()
+             exclude_blocks=(2,), exclude_block_type="ex_pred",
+             model_kw=None, orthogonal_matrix=None):
+    m = build(**(model_kw or {}))
     cfg = {"blocks": list(range(12)), "components": ["attn", "ffn"],
            "mx_specs": gm.ref_finalize(dict(DEIT_SPECS_DICT))}
     return ref_main.apply_quantization_to_deit(
         m, cfg, mx_quant=True, top_k=top_k, k=k, approx_flag=approx_flag,
         pred_mode=pred_mode, exclude_blocks=list(exclude_blocks),
-        exclude_block_type=exclude_block_type)
+        exclude_block_type=exclude_block_type,
+        orthogonal_matrix=orthogonal_matrix)
 
 
 def main():
@@ -229,6 +236,19 @@ def main():
         save["out_true_topk"] = m(x).numpy()
         m = surgered(top_k=False, approx_flag=False)
         save["out_dense"] = m(x).numpy()
+        # ELSA at model level: head_dim 64 (the reference ELSA dim),
+        # depth 4 — blocks 0,1,3 ELSA top-k, block 2 excluded (falls back
+        # to ex_pred); the 4-block model keeps the block-11 rule out of
+        # the way so every block exercises the surgery's main branch
+        om = gm.elsa_funcs._create_structured_orthogonal_matrix(dim=64)
+        m = surgered(pred_mode="ELSA", model_kw=dict(embed_dim=128,
+                                                     depth=4),
+                     orthogonal_matrix=om)
+        save["out_ELSA"] = m(x).numpy()
+        save["elsa_matrix"] = om.numpy()
+        print("ELSA", float(np.abs(save["out_ELSA"]).mean()))
+        torch.save(m.state_dict(),
+                   os.path.join(OUT_DIR, "deit_elsa_sd.pt"))
         # unquantized fp32 (no surgery at all, main.py --mx-quant gate)
         m = build()
         save["out_fp"] = m(x).numpy()
