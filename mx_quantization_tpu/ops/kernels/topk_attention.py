@@ -335,7 +335,7 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
     b_ref = p_ref = None
     if has_bias:
         b_ref = refs[i]; i += 1
-    if pred_mode == "ELSA":
+    if approx and pred_mode == "ELSA":
         p_ref = refs[i]; i += 1
     o_ref = refs[i]
     for c in range(cells):
@@ -610,7 +610,7 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
     b_ref = p_ref = None
     if has_bias:
         b_ref = refs[i]; i += 1
-    if pred_mode == "ELSA":
+    if approx and pred_mode == "ELSA":
         p_ref = refs[i]; i += 1
     o_ref, kv_s, ak_s, vq_s = refs[i:]
 

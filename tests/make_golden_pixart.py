@@ -417,6 +417,20 @@ def main():
         # dense MX (no top-k anywhere)
         m = build(self_top_k=False, cross_top_k=False, ex_pred=False)
         save["out_dense"] = fwd(m, case="dense")
+        # ELSA (set_config builds the d=72 matrix itself,
+        # MX_pixart_transformer_2d.py:203-205; self-attention only — the
+        # cross-attention forward has no ELSA branch, so cross runs its
+        # topk on the predictor=ex_pred? NO: pred_mode cascades to cross
+        # too, whose forward lacks an ELSA elif — it falls through with
+        # pred_scores UNDEFINED unless ex_pred path... guard: run ELSA
+        # with cross_top_k False to stay on the reference's working path
+        torch.manual_seed(3)  # set_config's gram-schmidt draws
+        m = build(pred_mode="ELSA", cross_top_k=False)
+        save["out_ELSA"] = fwd(m, case="ELSA")
+        save["elsa_matrix"] = np.stack(
+            [b.attn1.orthogonal_matrix.numpy()
+             for b in m.transformer_blocks])[0]
+        print("ELSA", float(np.abs(save["out_ELSA"]).mean()))
         # the asymmetric exclude_timesteps gate: every timestep excluded —
         # self attention runs DENSE, cross falls back to TRUE-SCORE top-k
         # (MX_transformer_block.py:659 vs :817)
