@@ -162,6 +162,32 @@ def build(mx_quant=True, top_k=True, ex_pred=True, pred_mode="ex_pred"):
     return m
 
 
+def run_with_block_captures(m, x, t, y, save, case):
+    """Forward + per-block (input, conditioning, output) captures: the
+    per-block replay pin (amplification rationale in
+    tests/test_pixart_model_golden.py)."""
+    hooks = []
+
+    def cap(i):
+        def pre(mod, args):
+            save[f"{case}_b{i}_in"] = args[0].detach().numpy()
+            save[f"{case}_c"] = args[1].detach().numpy()
+
+        def post(mod, args, out):
+            save[f"{case}_b{i}_out"] = out.detach().numpy()
+        return pre, post
+
+    for i, blk in enumerate(m.blocks):
+        pre, post = cap(i)
+        hooks.append(blk.register_forward_pre_hook(pre))
+        hooks.append(blk.register_forward_hook(post))
+    try:
+        return m(x, t, y).numpy()
+    finally:
+        for h in hooks:
+            h.remove()
+
+
 def main():
     rng = np.random.RandomState(1)
     x = torch.tensor(rng.randn(2, 4, 8, 8).astype(np.float32))
@@ -177,7 +203,8 @@ def main():
     with torch.no_grad():
         for mode in modes:
             m = build(pred_mode=mode)
-            save[f"out_{mode}"] = m(x, t, y).numpy()
+            save[f"out_{mode}"] = run_with_block_captures(m, x, t, y,
+                                                          save, mode)
             print(mode, float(np.abs(save[f"out_{mode}"]).mean()))
         # true-score top-k (approx off), dense MX, and unquantized
         m = build(ex_pred=False)
