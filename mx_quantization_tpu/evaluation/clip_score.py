@@ -64,18 +64,14 @@ def clip_score_jax(images: np.ndarray, prompts, model_path: str,
     import jax.numpy as jnp
     from transformers import CLIPTokenizer
 
-    from ..models.clip import (CLIP_CONFIGS, clip_image_embed,
-                               clip_text_embed, load_clip_checkpoint,
+    from ..models.clip import (clip_image_embed, clip_text_embed,
+                               load_clip_from_pretrained,
                                preprocess_images)
 
-    cfg = CLIP_CONFIGS["clip-vit-large-patch14"]
-    import glob
-    import os
-    cand = [model_path]
-    if os.path.isdir(model_path):
-        cand = (glob.glob(os.path.join(model_path, "*.safetensors")) +
-                glob.glob(os.path.join(model_path, "*.bin")))
-    params = load_clip_checkpoint(cand[0], cfg)
+    # resolves local dirs (incl. sharded checkpoints), hub ids, and any
+    # CLIP variant: transformers materializes the weights + config, we
+    # convert (models/clip.py)
+    cfg, params = load_clip_from_pretrained(model_path)
     tok = CLIPTokenizer.from_pretrained(model_path)
 
     scores = []
@@ -91,7 +87,5 @@ def clip_score_jax(images: np.ndarray, prompts, model_path: str,
             params, jnp.asarray(enc["input_ids"].astype(np.int32)), cfg,
             attention_mask=jnp.asarray(enc["attention_mask"]),
             mx_specs=mx_specs), np.float32)
-        ie /= np.linalg.norm(ie, axis=-1, keepdims=True)
-        te /= np.linalg.norm(te, axis=-1, keepdims=True)
-        scores.append(100.0 * np.maximum((ie * te).sum(-1), 0.0))
-    return float(np.mean(np.concatenate(scores)))
+        scores.append(clip_score_from_features(ie, te) * len(ie))
+    return float(sum(scores) / len(images))

@@ -286,3 +286,32 @@ def load_clip_checkpoint(path_or_sd, cfg: ClipConfig) -> Dict:
         "visual_projection": t2n("visual_projection.weight"),
         "text_projection": t2n("text_projection.weight"),
     }
+
+
+def config_from_hf(hf_config) -> ClipConfig:
+    """ClipConfig from a transformers CLIPConfig (any variant)."""
+    t, v = hf_config.text_config, hf_config.vision_config
+    return ClipConfig(
+        image_size=v.image_size, patch_size=v.patch_size,
+        v_hidden=v.hidden_size, v_layers=v.num_hidden_layers,
+        v_heads=v.num_attention_heads, v_mlp=v.intermediate_size,
+        vocab_size=t.vocab_size, max_positions=t.max_position_embeddings,
+        t_hidden=t.hidden_size, t_layers=t.num_hidden_layers,
+        t_heads=t.num_attention_heads, t_mlp=t.intermediate_size,
+        projection_dim=hf_config.projection_dim,
+        eos_token_id=t.eos_token_id)
+
+
+def load_clip_from_pretrained(model_path: str):
+    """(ClipConfig, params) from a local dir, sharded checkpoint, or hub
+    id: transformers materializes weights + config for ANY CLIP variant
+    (torch CPU, one-time), then the state dict converts through
+    load_clip_checkpoint.  Direct single-file loads should use
+    load_clip_checkpoint with an explicit ClipConfig instead."""
+    from transformers import CLIPModel
+
+    m = CLIPModel.from_pretrained(model_path)
+    cfg = config_from_hf(m.config)
+    params = load_clip_checkpoint(
+        {k: v for k, v in m.state_dict().items()}, cfg)
+    return cfg, params

@@ -170,8 +170,12 @@ def _quant_axis0_pos(x, block_size, mbits, scale_bits, flush=False,
         ((-sp_e + 127) << 23).astype(jnp.int32), jnp.float32)
     q = jnp.floor(scaled * inv_spacing + 0.5)
     out = jnp.minimum(q * spacing, max_norm) * scale
-    vals = out.reshape(K, N).astype(jnp.bfloat16)
-    return vals, e.reshape(nb, N)
+    # exponents derived from the quantized values, exactly as in
+    # _quant_axis0's fp branch (callers currently discard them — this
+    # keeps the two variants interchangeable; unused outputs are DCE'd)
+    ob = jax.lax.bitcast_convert_type(out, jnp.int32) & 0x7FFFFFFF
+    e2 = (jnp.max(ob, axis=1, keepdims=True) >> 23) - 127
+    return (out.reshape(K, N).astype(jnp.bfloat16), e2.reshape(nb, N))
 
 
 def _exp_sign_approx(qvals, exps, block_size):
@@ -497,9 +501,14 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
                 preferred_element_type=jnp.float32)
             # the query-tiled path sees a (S, QT) slice of queries:
             # select the norms at the tile's global query indices
-            # (q_offset may be a traced program_id multiple; the slice
-            # clamps at the edge — padded query lanes are discarded by
-            # the caller's output slice)
+            # (q_offset may be a traced program_id multiple).  Pad the row
+            # by a tile width first: the query padding Np can overrun Sp
+            # by up to QT-1 lanes, and an un-padded slice would CLAMP its
+            # start — scaling REAL queries of the last tile by the wrong
+            # keys' norms (rank-neutral except for flushed all-zero
+            # blocks, where the column would degenerate to index ties)
+            knorm2_row = jnp.concatenate(
+                [knorm2_row, jnp.zeros((1, N), jnp.float32)], axis=1)
             knorm2_row = jax.lax.dynamic_slice(
                 knorm2_row, (0, q_offset), (1, N))
             s_sel = jnp.sqrt(knorm2_row) * jnp.cos(ang)

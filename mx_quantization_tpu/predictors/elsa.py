@@ -84,6 +84,14 @@ class ElsaApproximation:
 
     def approximation_scores(self) -> jax.Array:
         """(..., Nq, Nk) approximate similarities."""
+        if self.MX_Q.shape[-2] != self.MX_K.shape[-2]:
+            raise ValueError(
+                "ELSA is square-self-attention-only: the reference applies "
+                "the key norms at the QUERY index "
+                "(elsa_approximation.py:139-141) and its cross-attention "
+                "forward has no ELSA branch — use an exponent-family "
+                f"pred_mode for cross attention (got Nq="
+                f"{self.MX_Q.shape[-2]}, Nk={self.MX_K.shape[-2]})")
         qh = self.compute_hashes(self.MX_Q)
         kh = self.compute_hashes(self.MX_K)
         key_norms = jnp.linalg.norm(self.MX_K, axis=-1)

@@ -116,3 +116,62 @@ def test_clip_score_jax_end_to_end(torch_pair):
                                  attention_mask=torch.tensor(mask)).numpy()
     want = clip_score_from_features(iw, tw)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_preprocessing_matches_clip_processor():
+    """preprocess_images vs transformers' CLIPImageProcessor (the actual
+    torchmetrics/reference input path).  Resize goes through different
+    bicubic implementations (PIL vs jax.image), so parity is bounded, not
+    exact: measured mean |delta| ~0.004 normalized units on smooth images
+    with ~2e-4 mean shift.  When no resize is needed the pipeline is
+    bit-tight."""
+    from transformers import CLIPImageProcessor
+
+    from mx_quantization_tpu.models.clip import (ClipConfig,
+                                                 preprocess_images)
+
+    full = ClipConfig()  # 224px pipeline, L/14 constants
+    rng = np.random.RandomState(0)
+    base = jnp.asarray(rng.randn(3, 16, 20, 3))
+    import jax.image as jimage
+    imgs = np.asarray(jnp.clip(
+        jimage.resize(base, (3, 320, 400, 3), "bicubic") * 40 + 128,
+        0, 255)).astype(np.uint8)
+
+    proc = CLIPImageProcessor()
+    want = proc(images=[imgs[i] for i in range(3)],
+                return_tensors="np")["pixel_values"]
+    got = preprocess_images(imgs, full)
+    assert got.shape == want.shape == (3, 3, 224, 224)
+    d = np.abs(got - want)
+    assert d.mean() < 0.02, d.mean()
+    assert abs((got - want).mean()) < 1e-3
+
+    # no-resize case: 224x224 input skips resampling -> tight
+    imgs224 = rng.randint(0, 255, size=(2, 224, 224, 3)).astype(np.uint8)
+    want = proc(images=[imgs224[i] for i in range(2)],
+                return_tensors="np")["pixel_values"]
+    got = preprocess_images(imgs224, full)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_load_clip_from_pretrained_local_dir(tmp_path, torch_pair):
+    """Hub-id/local-dir loading path (workloads.accuracy default backend):
+    a saved transformers CLIP dir round-trips through
+    load_clip_from_pretrained with the variant config derived from the HF
+    config — any CLIP variant, sharded or not."""
+    import torch
+    m, params_direct = torch_pair
+    d = tmp_path / "clip"
+    m.save_pretrained(str(d))
+    from mx_quantization_tpu.models.clip import load_clip_from_pretrained
+    cfg2, params2 = load_clip_from_pretrained(str(d))
+    assert cfg2 == CFG
+    rng = np.random.RandomState(4)
+    px = rng.randn(2, 3, CFG.image_size, CFG.image_size).astype(np.float32)
+    a = np.asarray(clip_image_embed(
+        jax.tree.map(jnp.asarray, params2), jnp.asarray(px), cfg2))
+    b = np.asarray(clip_image_embed(
+        jax.tree.map(jnp.asarray, params_direct) if not isinstance(
+            params_direct, dict) else params_direct, jnp.asarray(px), CFG))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)

@@ -110,3 +110,24 @@ def test_pixart_true_ex_mode():
                              self_k=4, ex_pred=True, pred_mode="true_ex")
     out = pixart_forward(params, x, ctx, t, TINY, qcfg)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_elsa_cross_attention_raises_clearly():
+    """ELSA is square-self-attention-only (the reference's cross-attention
+    forward has no ELSA branch and its norm application indexes by query
+    position) — a non-square ELSA call must fail with a clear message, not
+    an opaque broadcast error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mx_quantization_tpu import finalize_mx_specs
+    from mx_quantization_tpu.predictors.elsa import ElsaApproximation
+
+    specs = finalize_mx_specs(dict(
+        w_elem_format="int8", a_elem_format="int8", scale_bits=8,
+        block_size=32, quantize_backprop=False))
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 2, 16, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 8, 64).astype(np.float32))
+    with _pytest.raises(ValueError, match="square-self-attention-only"):
+        ElsaApproximation(q, k, specs).approximation_scores()

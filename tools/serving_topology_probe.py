@@ -110,7 +110,8 @@ def main():
         "no overlapped collectives in the serving-step schedule"
     # donation must survive sharding: donated pool buffers show as
     # input/output aliases in the compiled executable
-    io_alias = compiled.as_text().count("donated") or None
+    assert "input_output_alias" in txt, \
+        "pool donation dropped: no input/output aliasing in the executable"
     print("SERVING STEP COMPILED for a multi-host slice with async "
           "collectives; pool donation in place.")
 
