@@ -197,13 +197,19 @@ def test_topk_attention(impl):
 
 @pytest.mark.slow
 def test_topk_attention_elsa_and_bias():
+    # SQUARE self-attention with a key mask: ELSA is
+    # square-self-attention-only per the reference (its cross-attention
+    # forward has no ELSA branch and the norm application indexes by
+    # query position — see predictors/elsa.py); non-square raises the
+    # clear error pinned in tests/test_pixart.py
     q = rand(1, 2, 16, 64, seed=22)
-    k = rand(1, 2, 10, 64, seed=23)
-    v = rand(1, 2, 10, 64, seed=24)
-    bias = jnp.where(jnp.arange(10) < 8, 0.0, -1e4)[None, None, None, :]
+    k = rand(1, 2, 16, 64, seed=23)
+    v = rand(1, 2, 16, 64, seed=24)
+    bias = jnp.where(jnp.arange(16) < 8, 0.0, -1e4)[None, None, None, :]
     m = jnp.asarray(create_structured_orthogonal_matrix(64))
     cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=4,
-                              approx_flag=True, pred_mode="ELSA")
+                              approx_flag=True, pred_mode="ELSA",
+                              sparse_impl="gather")
     out, idx = topk_attention(q, k, v, 0.125, INT8_SPECS, cfg,
                               orthogonal_matrix=m, bias=bias)
     assert out.shape == (1, 2, 16, 64)
