@@ -140,14 +140,27 @@ DIT_SPECS = ref_finalize({
     "custom_cuda": False, "quantize_backprop": False,
 })
 
+# MXFP8-e4m3 variant: the reference quantizers serve every element format
+# uniformly — this pins the fp-grid chain (incl. e4m3 max_norm) at MODEL
+# level, beyond the published int8 operating points
+FP8_SPECS = ref_finalize({
+    "w_elem_format": "fp8_e4m3", "a_elem_format": "fp8_e4m3",
+    "scale_bits": 8, "shared_exp_method": "max", "block_size": 32,
+    "bfloat": 16, "fp": 0, "bfloat_subnorms": True, "round": "nearest",
+    "round_mx_output": "nearest", "round_output": "nearest",
+    "round_weight": "nearest", "mx_flush_fp32_subnorms": False,
+    "custom_cuda": False, "quantize_backprop": False,
+})
+
 MODEL_KW = dict(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
                 depth=2, num_heads=2, num_classes=10)
 
 
-def build(mx_quant=True, top_k=True, ex_pred=True, pred_mode="ex_pred"):
+def build(mx_quant=True, top_k=True, ex_pred=True, pred_mode="ex_pred",
+          specs=None):
     torch.manual_seed(0)
     m = ref_models.DiT(mx_quant=mx_quant,
-                       mx_specs=DIT_SPECS if mx_quant else None,
+                       mx_specs=(specs or DIT_SPECS) if mx_quant else None,
                        top_k=top_k, k=8, ex_pred=ex_pred,
                        pred_mode=pred_mode, exclude_blocks=[1],
                        exclude_timesteps=[], **MODEL_KW)
@@ -206,6 +219,11 @@ def main():
             save[f"out_{mode}"] = run_with_block_captures(m, x, t, y,
                                                           save, mode)
             print(mode, float(np.abs(save[f"out_{mode}"]).mean()))
+        # MXFP8-e4m3 at model level (fp-grid chain, ex_pred top-k)
+        m = build(specs=FP8_SPECS)
+        save["out_fp8_e4m3"] = run_with_block_captures(m, x, t, y, save,
+                                                       "fp8_e4m3")
+        print("fp8_e4m3", float(np.abs(save["out_fp8_e4m3"]).mean()))
         # true-score top-k (approx off), dense MX, and unquantized
         m = build(ex_pred=False)
         save["out_true_topk"] = m(x, t, y).numpy()
