@@ -53,6 +53,17 @@ class TopKAttentionConfig(NamedTuple):
     out_dtype: output dtype of the fused kernel ("float32" parity default;
     "bfloat16" halves the output HBM write in bf16-activation serving, where
     the consumer casts to bf16 immediately anyway).
+    contract: "exact" (default) keeps the reference's emulation-ordered
+    numerics bit-for-bit (the parity oracle); "serving" selects the fused
+    kernel's relaxed tier — tie-inclusive selection, bf16 attention
+    probabilities instead of the MX requantize, and no emulation-ordered
+    bf16 rounds of the score/PV matmul outputs (see the kernel module
+    docstring).  Each relaxation is priced by an end-to-end
+    trajectory-divergence bound vs the sampler's seed-to-seed noise floor
+    (tools/contract_trajectory.py, docs/ACCURACY.md) — the same evidence
+    standard that admitted key_bits=8.  Inference-only (the VJP surrogate
+    stays exact); requires the fused kernel path (a quantized config that
+    would fall back to the XLA path raises).
     """
     mx_quant: bool = True
     top_k: bool = True
@@ -62,6 +73,7 @@ class TopKAttentionConfig(NamedTuple):
     sparse_impl: str = "dense"
     key_bits: int = 32
     out_dtype: str = "float32"
+    contract: str = "exact"
 
 
 # predictor modes the fused Pallas kernel implements in-VMEM (all the
@@ -183,6 +195,7 @@ def _fused_topk_attention_ad(q, k, v, bias, om, scale, mx_specs, cfg):
         scale_bits=mx_specs.effective_scale_bits(),
         approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
         key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype),
+        contract=cfg.contract,
         **_kernel_elemwise_args(mx_specs),
         **_kernel_format_args(mx_specs))
 
@@ -236,6 +249,7 @@ def _fused_qkv_attention_ad(qkv, num_heads, scale, mx_specs, cfg):
         scale_bits=mx_specs.effective_scale_bits(),
         approx=cfg.approx_flag, pred_mode=cfg.pred_mode,
         key_bits=cfg.key_bits, out_dtype=jnp.dtype(cfg.out_dtype),
+        contract=cfg.contract,
         **_kernel_elemwise_args(mx_specs),
         **_kernel_format_args(mx_specs))
 
@@ -323,6 +337,11 @@ def topk_attention(
             out = _fused_topk_attention_ad(q, k, v, bias, None, scale,
                                            mx_specs, dcfg)
             return out, None
+        if cfg.contract == "serving":
+            raise ValueError(
+                "contract='serving' is a fused-kernel tier; this dense "
+                "config falls back to the XLA path (unsupported bias shape, "
+                "fp != 0, S > 4096, or a non-kernel element format)")
         true_scores = matmul(q, jnp.swapaxes(k, -1, -2), mx_specs=mx_specs,
                              mode_config="aa") * scale
         if bias is not None:
@@ -385,6 +404,12 @@ def topk_attention(
         out = _fused_topk_attention_ad(q, k, v, bias, om, scale, mx_specs,
                                        cfg)
         return out, None
+
+    if cfg.contract == "serving":
+        raise ValueError(
+            "contract='serving' is a fused-kernel tier; this config falls "
+            "back to the XLA path (sparse_impl, bias shape, fp != 0, "
+            "S > 4096, element format, or a non-kernel predictor)")
 
     if cfg.sparse_impl == "dense":
         if fused:

@@ -74,6 +74,10 @@ class DiTQuantConfig:
     exclude_timesteps: Tuple[int, ...] = ()
     sparse_impl: str = "dense"
     topk_key_bits: int = 32
+    # "serving" = the fused kernel's relaxed tier (tie-inclusive selection,
+    # bf16 attention probabilities, no emulation-ordered score/PV rounds) —
+    # divergence-bounded vs the exact tier by tools/contract_trajectory.py
+    contract: str = "exact"
     # serving knob: bf16 residual stream halves elementwise HBM traffic;
     # norm statistics stay fp32.  "float32" = reference-parity activations.
     activation_dtype: str = "float32"
@@ -95,7 +99,7 @@ class DiTQuantConfig:
         return TopKAttentionConfig(
             mx_quant=True, top_k=top_k, k=self.k, approx_flag=approx,
             pred_mode=self.pred_mode, sparse_impl=self.sparse_impl,
-            key_bits=self.topk_key_bits,
+            key_bits=self.topk_key_bits, contract=self.contract,
             out_dtype=("bfloat16" if self.activation_dtype == "bfloat16"
                        else "float32"))
 

@@ -89,6 +89,7 @@ class PixArtQuantConfig:
     # stream + bf16-precision top-k ranking on the fused engine
     topk_key_bits: int = 32
     activation_dtype: str = "float32"
+    contract: str = "exact"  # "serving" = relaxed fused-kernel tier
 
     def _pred_mode(self, idx):
         return (self.exclude_blocks_type if idx in self.exclude_blocks
@@ -96,6 +97,7 @@ class PixArtQuantConfig:
 
     def _serving_kw(self):
         return dict(key_bits=self.topk_key_bits,
+                    contract=self.contract,
                     out_dtype=("bfloat16"
                                if self.activation_dtype == "bfloat16"
                                else "float32"))

@@ -68,6 +68,7 @@ class VitQuantConfig:
     last_block_no_topk: bool = True   # block depth-1 always dense
     sparse_impl: str = "dense"
     topk_key_bits: int = 32  # 16 = bf16-precision ranking (serving knob)
+    contract: str = "exact"  # "serving" = relaxed fused-kernel tier
 
     def block_attn_cfg(self, idx: int, depth: int) -> TopKAttentionConfig:
         if not self.mx_quant or self.mx_specs is None:
@@ -82,7 +83,8 @@ class VitQuantConfig:
         return TopKAttentionConfig(
             mx_quant=True, top_k=top_k, k=self.k,
             approx_flag=self.approx_flag, pred_mode=pred_mode,
-            sparse_impl=self.sparse_impl, key_bits=self.topk_key_bits)
+            sparse_impl=self.sparse_impl, key_bits=self.topk_key_bits,
+            contract=self.contract)
 
 
 # ----------------------------------------------------------------------

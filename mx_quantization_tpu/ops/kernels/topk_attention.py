@@ -1,14 +1,16 @@
 """Pallas fused MX top-k attention.
 
-One kernel per (batch, head): MX-quantize q/k/v, compute true + predictor
-scores, select each row's top-k (exact, tie-stable), masked softmax, weigh V
-— all in VMEM.  This collapses what the XLA path does in ~40 HBM passes over
-the N x N score tensors (quantize, predictor matmul, 32-pass k-th binary
-search, cumsum, masked softmax, attn quantize, PV matmul) into a single read
-of q/k/v and a single write of the output.
+A batch of (batch, head) cells per grid step (16 unrolled cells at the DiT
+point — Mosaic pipelines one cell's MXU matmuls against neighbors' VPU
+passes): MX-quantize q/k/v, compute true + predictor scores, select each
+row's top-k (exact, tie-stable), masked softmax, weigh V — all in VMEM.
+This collapses what the XLA path does in ~40 HBM passes over the N x N
+score tensors (quantize, predictor matmul, 32-pass k-th binary search,
+cumsum, masked softmax, attn quantize, PV matmul) into a single read of
+q/k/v and a single write of the output.
 
 Numerics contract (same as attention.topk_attention with sparse_impl="dense"
-on the fused path):
+on the fused path), ``contract="exact"`` tier:
   * q/k MX-quantized per 32-block along the head dim, scores via bf16 MXU
     dot with f32 accumulation (MXINT8 grid points are bf16-exact)
   * predictors, all in-VMEM from the quantized values: ex_pred
@@ -22,6 +24,22 @@ on the fused path):
     (exact); ties ranked lowest-index-first like jax.lax.top_k, with the
     rank computed as a triangular-matrix matmul (MXU) instead of a cumsum
   * attn row quantized along N, V along N, PV via bf16 MXU dot
+
+``contract="serving"`` tier (the production-throughput knob, round-4): the
+operand quantization, predictor, and threshold search are IDENTICAL to the
+exact tier; three emulation-ordering details are relaxed, each priced by an
+end-to-end trajectory-divergence measurement against the sampler's
+seed-to-seed noise floor (tools/contract_trajectory.py, docs/ACCURACY.md),
+the same evidence standard that admitted key_bits=8:
+  * tie-INCLUSIVE selection: every key equal to the k-th threshold key is
+    kept (sel = keys >= kth) instead of ranking ties lowest-index-first to
+    exactly k — the exact tier's selected set is a SUBSET of the serving
+    tier's, and the (S, S) tie-rank matmul + eq/rank passes disappear
+  * the attention probabilities skip the MX requantize (and its bfloat
+    round): softmax output is cast straight to bf16 for the PV dot —
+    per-element bf16 precision instead of a per-32-block shared exponent
+  * the emulation-ordered bf16 rounds of the score matmul output and the
+    PV output are skipped (the f32 values flow through)
 
 Layout notes (Mosaic): the lane (minor) dimension cannot be reshaped into
 32-wide blocks, so all quantization places blocks on sublanes: q/k arrive
@@ -324,7 +342,7 @@ def _mono_keys_top(x, shift):
 def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
                       s_valid, d_valid, approx, pred_mode, key_bits, cells,
                       out_dtype, has_bias, bfloat, flush,
-                      ebits=0, emax=0, max_norm=0.0):
+                      ebits=0, emax=0, max_norm=0.0, relaxed=False):
     """``cells`` (batch*head) cells per grid step; q (cells, N, D),
     k/v (cells, S, D), optional bias (cells, 1, S), out (cells, N, D).
 
@@ -349,7 +367,7 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
                   k=k, scale=scale, s_valid=s_valid, d_valid=d_valid,
                   approx=approx, pred_mode=pred_mode, key_bits=key_bits,
                   out_dtype=out_dtype, bfloat=bfloat, flush=flush,
-                  ebits=ebits, emax=emax, max_norm=max_norm,
+                  ebits=ebits, emax=emax, max_norm=max_norm, relaxed=relaxed,
                   proj_mat=None if p_ref is None else p_ref[:])
 
 
@@ -426,7 +444,7 @@ def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
 def _one_cell(q_nd, k_nd, v_nd, bias_col, o_ref, c, *, block_size, mbits,
               scale_bits, k, scale, s_valid, d_valid, approx, pred_mode,
               key_bits, out_dtype, proj_mat=None, bfloat=0, flush=False,
-              ebits=0, emax=0, max_norm=0.0):
+              ebits=0, emax=0, max_norm=0.0, relaxed=False):
     fmt = dict(ebits=ebits, emax=emax, max_norm=max_norm)
     qv, aq = _prep_side(q_nd, block_size, mbits, scale_bits, d_valid, approx,
                         pred_mode, side="q", proj=proj_mat, bfloat=bfloat,
@@ -442,14 +460,14 @@ def _one_cell(q_nd, k_nd, v_nd, bias_col, o_ref, c, *, block_size, mbits,
         qv, aq, kv, ak, v_q, bias_col, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, k=k, scale=scale, s_valid=s_valid,
         approx=approx, pred_mode=pred_mode, key_bits=key_bits,
-        bfloat=bfloat, flush=flush, **fmt).astype(out_dtype)
+        bfloat=bfloat, flush=flush, relaxed=relaxed, **fmt).astype(out_dtype)
 
 
 def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
                          mbits, scale_bits, k, scale, s_valid, approx,
                          key_bits, pred_mode="ex_pred", bfloat=0,
                          flush=False, ebits=0, emax=0, max_norm=0.0,
-                         q_offset=0):
+                         q_offset=0, relaxed=False):
     """Quantized operands (Dp, N)/(Dp, S) + v_q (S, D) -> attention (N, D)
     f32: true/pred scores, exact top-k selection, masked softmax, PV.
 
@@ -469,9 +487,10 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
     dn = (((0,), (0,)), ((), ()))
     s_true = jax.lax.dot_general(kv, qv, dn,
                                  preferred_element_type=jnp.float32)
-    if bfloat == 16:
+    if bfloat == 16 and not relaxed:
         # the emulation rounds the matmul OUTPUT to bf16 before the external
-        # *scale (attention.py true_scores = matmul(...)*scale)
+        # *scale (attention.py true_scores = matmul(...)*scale); the serving
+        # tier lets the f32 accumulator flow through
         s_true = _bf16_round(s_true)
     s_true = s_true * scale
     if bias_col is not None:
@@ -532,13 +551,17 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
         # (one full-size select saved)
         e = jnp.exp(masked - m)
         attn_t = e / jnp.sum(e, axis=0, keepdims=True)
-        if bfloat == 16:
-            attn_t = _bf16_round(attn_t)
-        at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits, scale_bits,
-                                   flush, ebits, emax, max_norm)
+        if relaxed:
+            at_q = attn_t.astype(jnp.bfloat16)
+        else:
+            if bfloat == 16:
+                attn_t = _bf16_round(attn_t)
+            at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits,
+                                       scale_bits, flush, ebits, emax,
+                                       max_norm)
         out = jax.lax.dot_general(at_q, v_q, dn,
                                   preferred_element_type=jnp.float32)
-        return _bf16_round(out) if bfloat == 16 else out
+        return _bf16_round(out) if bfloat == 16 and not relaxed else out
 
     if key_bits == 16:
         # bf16-precision ranking: keys collapse to their top 16 bits, the
@@ -567,22 +590,29 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
     else:
         keys = _mono_keys(s_sel)
         kth, n_gt = _kth_keys(keys, k)
-    gt = keys > kth
-    eq = keys == kth
-    # lowest-index-first tie rank via inclusive lower-triangular matmul:
-    # rank[c, r] = sum_{c' <= c} eq[c', r].  The triangle is generated
-    # TRANSPOSED (tri[c', c] = c' <= c) and contracted over dim 0 so the
-    # (S, S) operand sits in the same streamed matmul position as the old
-    # row-layout kernel — putting it on a plain LHS made Mosaic materialize
-    # all S^2 values and blow scoped VMEM at S=4096 (PixArt-1024).
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <=
-           jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-           ).astype(jnp.float32).astype(jnp.bfloat16)
-    rank = jax.lax.dot_general(
-        tri, eq.astype(jnp.float32).astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sel = gt | (eq & (rank <= (k - n_gt).astype(jnp.float32)))
+    if relaxed:
+        # serving tier: tie-INCLUSIVE selection — keep every key at the
+        # threshold (>= k entries; the exact tier's set is a subset).  The
+        # (S, S) tie-rank matmul and the eq/rank/n_gt passes all vanish.
+        sel = keys >= kth
+    else:
+        gt = keys > kth
+        eq = keys == kth
+        # lowest-index-first tie rank via inclusive lower-triangular matmul:
+        # rank[c, r] = sum_{c' <= c} eq[c', r].  The triangle is generated
+        # TRANSPOSED (tri[c', c] = c' <= c) and contracted over dim 0 so the
+        # (S, S) operand sits in the same streamed matmul position as the
+        # old row-layout kernel — putting it on a plain LHS made Mosaic
+        # materialize all S^2 values and blow scoped VMEM at S=4096
+        # (PixArt-1024).
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <=
+               jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+               ).astype(jnp.float32).astype(jnp.bfloat16)
+        rank = jax.lax.dot_general(
+            tri, eq.astype(jnp.float32).astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sel = gt | (eq & (rank <= (k - n_gt).astype(jnp.float32)))
 
     masked = jnp.where(sel, s_true, neg)
     m = jnp.max(masked, axis=0, keepdims=True)
@@ -590,22 +620,27 @@ def _score_select_output(qv, aq, kv, ak, v_q, bias_col, *, block_size,
     # entries are -3e38 and exp underflows to +0.0 (one select saved)
     e = jnp.exp(masked - m)
     attn_t = e / jnp.sum(e, axis=0, keepdims=True)
-    if bfloat == 16:
-        attn_t = _bf16_round(attn_t)
-
-    # attn (S, N) already has the PV blocks on sublanes — no transpose;
-    # probabilities are non-negative, so the sign-free quantizer applies
-    at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits, scale_bits, flush,
-                               ebits, emax, max_norm)
+    if relaxed:
+        # serving tier: the attention probabilities keep per-element bf16
+        # precision instead of the MX requantize (and skip its bfloat
+        # round) — ~8 (S, N) VPU passes deleted
+        at_q = attn_t.astype(jnp.bfloat16)
+    else:
+        if bfloat == 16:
+            attn_t = _bf16_round(attn_t)
+        # attn (S, N) already has the PV blocks on sublanes — no transpose;
+        # probabilities are non-negative, so the sign-free quantizer applies
+        at_q, _ = _quant_axis0_pos(attn_t, block_size, mbits, scale_bits,
+                                   flush, ebits, emax, max_norm)
     out = jax.lax.dot_general(at_q, v_q, dn,
                               preferred_element_type=jnp.float32)
-    return _bf16_round(out) if bfloat == 16 else out
+    return _bf16_round(out) if bfloat == 16 and not relaxed else out
 
 
 def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
                             s_valid, d_valid, approx, pred_mode, key_bits,
                             out_dtype, has_bias, bfloat, flush,
-                            ebits=0, emax=0, max_norm=0.0):
+                            ebits=0, emax=0, max_norm=0.0, relaxed=False):
     """Query-tiled variant for long sequences (N > 512): grid (G, N/QT);
     each step attends one query tile against the FULL key/value set.  The
     quantized K side (kv, predictor operand, v_q) is computed once per cell
@@ -651,14 +686,14 @@ def _topk_attn_kernel_tiled(*refs, block_size, mbits, scale_bits, k, scale,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
         scale=scale, s_valid=s_valid, approx=approx, pred_mode=pred_mode,
         key_bits=key_bits, bfloat=bfloat, flush=flush,
-        ebits=ebits, emax=emax, max_norm=max_norm,
+        ebits=ebits, emax=emax, max_norm=max_norm, relaxed=relaxed,
         q_offset=pl.program_id(1) * q_ref.shape[1]).astype(out_dtype)
 
 
 def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
                      mbits, scale_bits, k, scale, s_valid, approx, pred_mode,
                      key_bits, out_dtype, bfloat, flush,
-                     ebits=0, emax=0, max_norm=0.0, rows=1):
+                     ebits=0, emax=0, max_norm=0.0, rows=1, relaxed=False):
     """``rows`` batch rows per grid step: x (rows, Np, 3*H*D) is the fused
     qkv linear output (feature order (3, H, D)); all rows*H heads are
     attended in-VMEM and the output is written proj-ready as
@@ -691,7 +726,7 @@ def _qkv_attn_kernel(x_ref, o_ref, *, num_heads, head_dim, block_size,
                 mbits=mbits, scale_bits=scale_bits, k=k, scale=scale,
                 s_valid=s_valid, approx=approx, pred_mode=pred_mode,
                 key_bits=key_bits, bfloat=bfloat, flush=flush,
-                **fmt).astype(out_dtype))
+                relaxed=relaxed, **fmt).astype(out_dtype))
         o_ref[r] = jnp.concatenate(outs, axis=1)
 
 
@@ -701,7 +736,8 @@ def _qkv_impl(qkv, num_heads: int = 0, *, k: int, scale: float,
               pred_mode: str = "ex_pred",
               key_bits: int = 32, out_dtype=jnp.float32,
               bfloat: int = 0, flush: bool = False,
-              ebits: int = 0, emax: int = 0, max_norm: float = 0.0):
+              ebits: int = 0, emax: int = 0, max_norm: float = 0.0,
+              relaxed: bool = False):
     """(B, N, 3*H*D) fused-qkv activations -> (B, N, H*D) attention output.
 
     Self-attention fast path for models with a single fused qkv projection
@@ -726,7 +762,8 @@ def _qkv_impl(qkv, num_heads: int = 0, *, k: int, scale: float,
         mbits=mbits, scale_bits=scale_bits, k=k, scale=scale, s_valid=N,
         approx=approx, pred_mode=pred_mode, key_bits=key_bits,
         out_dtype=out_dtype, bfloat=bfloat, flush=flush,
-        ebits=ebits, emax=emax, max_norm=max_norm, rows=rows)
+        ebits=ebits, emax=emax, max_norm=max_norm, rows=rows,
+        relaxed=relaxed)
     out = pl.pallas_call(
         kern,
         grid=(B // rows,),
@@ -758,7 +795,8 @@ def _split_impl(q, k_, v, bias=None, proj=None, *, k: int,
                 pred_mode: str = "ex_pred",
                 key_bits: int = 32, out_dtype=jnp.float32,
                 bfloat: int = 0, flush: bool = False,
-                ebits: int = 0, emax: int = 0, max_norm: float = 0.0):
+                ebits: int = 0, emax: int = 0, max_norm: float = 0.0,
+                relaxed: bool = False):
     """(B, H, N, D) q x (B, H, S, D) k/v -> (B, H, N, D) in ``out_dtype``.
 
     approx=True selects by the predictor given by pred_mode; False by the
@@ -834,7 +872,7 @@ def _split_impl(q, k_, v, bias=None, proj=None, *, k: int,
             approx=approx, pred_mode=pred_mode, key_bits=key_bits,
             cells=cells, out_dtype=out_dtype, has_bias=brow is not None,
             bfloat=bfloat, flush=flush,
-            ebits=ebits, emax=emax, max_norm=max_norm)
+            ebits=ebits, emax=emax, max_norm=max_norm, relaxed=relaxed)
         out = pl.pallas_call(
             kern,
             grid=(G // cells,),
@@ -883,7 +921,7 @@ def _split_impl(q, k_, v, bias=None, proj=None, *, k: int,
             approx=approx, pred_mode=pred_mode, key_bits=key_bits,
             out_dtype=out_dtype, has_bias=brow is not None,
             bfloat=bfloat, flush=flush,
-            ebits=ebits, emax=emax, max_norm=max_norm)
+            ebits=ebits, emax=emax, max_norm=max_norm, relaxed=relaxed)
         out = pl.pallas_call(
             kern,
             grid=(G, Np // QT),
@@ -958,15 +996,17 @@ def fused_topk_attention(q, k_, v, bias=None, proj=None, *, k: int,
                          key_bits: int = 32, out_dtype=jnp.float32,
                          bfloat: int = 0, flush: bool = False,
                          ebits: int = 0, emax: int = 0,
-                         max_norm: float = 0.0):
+                         max_norm: float = 0.0, contract: str = "exact"):
     """Public split-q/k/v entry — see _split_impl for the math.  Under an
     ambient mesh the call shard_maps over (data -> batch, model -> heads);
-    single-device it calls the kernel directly."""
+    single-device it calls the kernel directly.  ``contract="serving"``
+    selects the relaxed tier (module docstring)."""
     impl = functools.partial(
         _split_impl, k=k, scale=scale, block_size=block_size, mbits=mbits,
         scale_bits=scale_bits, approx=approx, pred_mode=pred_mode,
         key_bits=key_bits, out_dtype=out_dtype, bfloat=bfloat, flush=flush,
-        ebits=ebits, emax=emax, max_norm=max_norm)
+        ebits=ebits, emax=emax, max_norm=max_norm,
+        relaxed=contract == "serving")
     mesh = _ambient_mesh()
     if mesh is None:
         return impl(q, k_, v, bias, proj)
@@ -1004,7 +1044,7 @@ def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
                              key_bits: int = 32, out_dtype=jnp.float32,
                              bfloat: int = 0, flush: bool = False,
                              ebits: int = 0, emax: int = 0,
-                             max_norm: float = 0.0):
+                             max_norm: float = 0.0, contract: str = "exact"):
     """Public qkv-direct entry — see _qkv_impl.  Under an ambient mesh it
     shard_maps over batch only (the fused-qkv feature axis interleaves
     (3, H, D) groups, so head sharding does not apply here; model-parallel
@@ -1015,7 +1055,8 @@ def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits,
         approx=approx, pred_mode=pred_mode, key_bits=key_bits,
         out_dtype=out_dtype, bfloat=bfloat, flush=flush,
-        ebits=ebits, emax=emax, max_norm=max_norm)
+        ebits=ebits, emax=emax, max_norm=max_norm,
+        relaxed=contract == "serving")
     mesh = _ambient_mesh()
     if mesh is None:
         return impl(qkv)

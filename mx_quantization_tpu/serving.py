@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .diffusion import GaussianDiffusion, create_diffusion
+from .diffusion.dpm_solver import DPMSolverMultistep
 
 
 @dataclasses.dataclass
@@ -120,6 +121,94 @@ def engine_step(model_fn, diffusion, null_condition, cfg_scale, slots,
     return new_lat, new_step_idx, new_active, finished, fin_lat
 
 
+def dpm_tables(num_inference_steps: int,
+               solver: Optional[DPMSolverMultistep] = None):
+    """Per-slot-step DPM-Solver++(2M) coefficient tables, indexed by the
+    server's countdown ``step_idx`` (num_inference_steps-1 = first solver
+    step ... 0 = final step).  Everything data-independent is precomputed
+    here so the engine step is pure gathers + elementwise math.
+
+    Returns dict of (num_inference_steps,) float32 arrays:
+      t      model timestep fed to the network
+      inv_a  1/alpha_t        sg     sigma_t        (x0 = (x - sg*eps)*inv_a)
+      ratio  sigma_s/sigma_t  coef   alpha_s*expm1(-h)
+      inv2r  1/(2r) with r = h_prev/h (0.0 at the first step -> the 2M
+             correction term vanishes and the update degenerates to 1st
+             order exactly as the sequential sampler's prev_x0 is None)
+    """
+    sv = solver or DPMSolverMultistep()
+    ts = sv.timesteps(num_inference_steps)          # descending model t
+    NI = num_inference_steps
+    out = {k: np.zeros((NI,), np.float32)
+           for k in ("t", "inv_a", "sg", "ratio", "coef", "inv2r")}
+    for j in range(NI):                              # j = step_idx countdown
+        si = NI - 1 - j                              # position in ts
+        t_idx = int(ts[si])
+        s_t = int(ts[si + 1]) if si + 1 < NI else 0
+        h = sv.lambda_t[s_t] - sv.lambda_t[t_idx]
+        out["t"][j] = float(t_idx)
+        out["inv_a"][j] = 1.0 / sv.alpha_t[t_idx]
+        out["sg"][j] = sv.sigma_t[t_idx]
+        out["ratio"][j] = sv.sigma_t[s_t] / sv.sigma_t[t_idx]
+        out["coef"][j] = sv.alpha_t[s_t] * float(np.expm1(-h))
+        if si > 0 and h != 0:
+            h_prev = sv.lambda_t[t_idx] - sv.lambda_t[int(ts[si - 1])]
+            out["inv2r"][j] = float(h / (2.0 * h_prev))
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def engine_step_dpm(model_fn, tables, null_condition, cfg_scale, slots,
+                    eps_channels, params, lat, step_idx, prev_x0, active,
+                    cond):
+    """One DPM-Solver++(2M) step for every slot at its own solver position
+    (the PixArt-alpha serving engine — reference operating point is 20
+    DPM-Solver++ steps, run_pixart_alpha.sh:31-42).  Deterministic (ODE
+    solver): no per-step noise.  Per-slot multistep state is ``prev_x0``
+    (the previous step's data prediction), carried in the donated pool.
+
+    CFG follows the PixArt pipeline: guidance on the FULL epsilon
+    (out[:, :eps_channels]; learned-variance channels dropped).
+    """
+    S = slots
+    t = tables["t"][step_idx]
+
+    lat2 = jnp.concatenate([lat, lat], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    cond2 = jax.tree.map(
+        lambda c, n: jnp.concatenate(
+            [c, jnp.broadcast_to(jnp.asarray(n), c.shape)], axis=0),
+        cond, null_condition)
+    out = (model_fn(params, lat2, t2, cond2)
+           if params is not None else model_fn(lat2, t2, cond2))
+    eps2 = out[:, :eps_channels]
+    c_eps, u_eps = jnp.split(eps2, 2, axis=0)
+    eps = u_eps + cfg_scale * (c_eps - u_eps)
+
+    def bcast(v):
+        return v[:, None, None, None]
+
+    x0 = (lat - bcast(tables["sg"][step_idx]) * eps) * \
+        bcast(tables["inv_a"][step_idx])
+    # 2M correction: d = (1 + 1/(2r)) x0 - 1/(2r) prev_x0; inv2r == 0 at a
+    # slot's first step (no prev_x0 yet) -> d == x0 (exact 1st-order)
+    inv2r = bcast(tables["inv2r"][step_idx])
+    first = (step_idx == (tables["t"].shape[0] - 1))[:, None, None, None]
+    inv2r = jnp.where(first, jnp.zeros_like(inv2r), inv2r)
+    d = (1.0 + inv2r) * x0 - inv2r * prev_x0
+    new_lat = bcast(tables["ratio"][step_idx]) * lat - \
+        bcast(tables["coef"][step_idx]) * d
+    new_lat = jnp.where(active[:, None, None, None], new_lat, lat)
+    new_prev_x0 = jnp.where(active[:, None, None, None], x0, prev_x0)
+
+    finished = active & (step_idx == 0)
+    new_active = active & ~finished
+    new_step_idx = jnp.where(new_active, step_idx - 1, step_idx)
+    fin_lat = jnp.where(finished[:, None, None, None], new_lat,
+                        jnp.zeros_like(new_lat))
+    return (new_lat, new_step_idx, new_prev_x0, new_active, finished,
+            fin_lat)
+
+
 class DiffusionServer:
     """Continuous-batching sampler around a CFG denoise model.
 
@@ -135,13 +224,23 @@ class DiffusionServer:
     def __init__(self, model_fn: Callable, latent_shape, num_steps: int,
                  slots: int = 8, null_condition: int = 1000,
                  cfg_scale: float = 4.0, seed: int = 0, mesh=None,
-                 params=None):
+                 params=None, solver: str = "ddpm",
+                 eps_channels: Optional[int] = None):
         """``params``: optional weight pytree passed through the jitted
         step as an EXPLICIT argument — then model_fn is called as
         model_fn(params, lat, t, cond).  Without it, model_fn(lat, t, cond)
         may close over its weights, which bakes them into the compiled HLO
         as constants (fine for small models; at DiT-XL scale the compile
-        request itself becomes gigabytes — always pass params)."""
+        request itself becomes gigabytes — always pass params).
+
+        ``solver``: "ddpm" (the DiT ancestral sampler, engine_step) or
+        "dpm++" (DPM-Solver++ 2M, engine_step_dpm — the PixArt-alpha
+        reference operating point's scheduler).  dpm++ carries per-slot
+        multistep state (prev_x0) in the donated pool and is
+        deterministic per request.
+        ``eps_channels``: CFG channel count for dpm++ (defaults to the
+        latent channel count — the PixArt convention of guiding the full
+        epsilon and dropping learned-variance channels)."""
         self.model_fn = model_fn
         self.params = params
         self.mesh = mesh
@@ -149,8 +248,17 @@ class DiffusionServer:
         self.slots = slots
         self.null_condition = null_condition
         self.cfg_scale = cfg_scale
-        self.diffusion = create_diffusion(str(num_steps))
-        self.num_steps = self.diffusion.num_timesteps
+        self.solver = solver
+        if solver == "dpm++":
+            self.num_steps = num_steps
+            self._tables = dpm_tables(num_steps)
+            self.eps_channels = eps_channels or self.latent_shape[0]
+            self.diffusion = None
+        elif solver == "ddpm":
+            self.diffusion = create_diffusion(str(num_steps))
+            self.num_steps = self.diffusion.num_timesteps
+        else:
+            raise ValueError(f"unknown solver {solver!r}")
 
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._results: Dict[int, Result] = {}
@@ -182,6 +290,8 @@ class DiffusionServer:
         self._lat = put(jnp.zeros((slots, C, H, W), jnp.float32), self._sh4)
         self._step_idx = put(jnp.zeros((slots,), jnp.int32), self._sh1)
         self._active = put(jnp.zeros((slots,), jnp.bool_), self._sh1)
+        self._prev_x0 = (put(jnp.zeros((slots, C, H, W), jnp.float32),
+                             self._sh4) if self.solver == "dpm++" else None)
         self._cond = jax.tree.map(
             lambda n, *sh: put(jnp.broadcast_to(
                 jnp.asarray(n), (slots,) + np.shape(n)).copy(),
@@ -206,20 +316,32 @@ class DiffusionServer:
         self._pending: Optional[Tuple[jax.Array, jax.Array]] = None
 
         # ---- jitted device programs ----
-        # the engine step donates the latent/index/mask buffers: the pool
-        # is updated in place on device, nothing round-trips the host
+        # the engine step donates the latent/index/mask (and dpm++
+        # prev_x0) buffers: the pool is updated in place on device,
+        # nothing round-trips the host
+        dpm = self.solver == "dpm++"
+        donate = (1, 2, 3, 4) if dpm else (1, 2, 3)
+        stepper = self._engine_step_dpm if dpm else self._engine_step
         if mesh is None:
-            self._step_jit = jax.jit(self._engine_step,
-                                     donate_argnums=(1, 2, 3))
+            self._step_jit = jax.jit(stepper, donate_argnums=donate)
         else:
-            state_sh = (self._sh4, self._sh1, self._sh1)
             rep = NamedSharding(mesh, jax.sharding.PartitionSpec())
             params_sh = jax.tree.map(lambda a: a.sharding, self.params)
-            self._step_jit = jax.jit(
-                self._engine_step,
-                in_shardings=(params_sh,) + state_sh + (self._cond_sh, rep),
-                out_shardings=state_sh + (self._sh1, self._sh4),
-                donate_argnums=(1, 2, 3))
+            if dpm:
+                state_sh = (self._sh4, self._sh1, self._sh4, self._sh1)
+                self._step_jit = jax.jit(
+                    stepper,
+                    in_shardings=(params_sh,) + state_sh + (self._cond_sh,),
+                    out_shardings=state_sh + (self._sh1, self._sh4),
+                    donate_argnums=donate)
+            else:
+                state_sh = (self._sh4, self._sh1, self._sh1)
+                self._step_jit = jax.jit(
+                    stepper,
+                    in_shardings=(params_sh,) + state_sh
+                    + (self._cond_sh, rep),
+                    out_shardings=state_sh + (self._sh1, self._sh4),
+                    donate_argnums=donate)
 
         def refill(lat, step_idx, active, cond, slot, new_cond, key):
             """Activate one slot: fresh on-device noise, uploaded condition,
@@ -232,6 +354,8 @@ class DiffusionServer:
                                 new_cond)
             return lat, step_idx, active, cond
 
+        # dpm++ multistep state needs no refill write: inv2r is forced to
+        # zero at a slot's first step, so a stale prev_x0 never contributes
         if mesh is None:
             self._refill_jit = jax.jit(refill, donate_argnums=(0, 1, 2, 3))
         else:
@@ -245,6 +369,13 @@ class DiffusionServer:
         return engine_step(self.model_fn, self.diffusion, self._null,
                            self.cfg_scale, self.slots, params, lat,
                            step_idx, active, cond, key)
+
+    def _engine_step_dpm(self, params, lat, step_idx, prev_x0, active,
+                         cond):
+        return engine_step_dpm(self.model_fn, self._tables, self._null,
+                               self.cfg_scale, self.slots,
+                               self.eps_channels, params, lat, step_idx,
+                               prev_x0, active, cond)
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> int:
@@ -313,11 +444,17 @@ class DiffusionServer:
         # (active mask all false on device) and a dispatch would burn a
         # whole model step on zero active slots
         if (self._host_busy & (self._host_steps_left > 0)).any():
-            self._key, sk = jax.random.split(self._key)
-            (self._lat, self._step_idx, self._active, fin_dev,
-             fin_lat) = self._step_jit(self.params, self._lat,
-                                       self._step_idx, self._active,
-                                       self._cond, sk)
+            if self.solver == "dpm++":
+                (self._lat, self._step_idx, self._prev_x0, self._active,
+                 fin_dev, fin_lat) = self._step_jit(
+                    self.params, self._lat, self._step_idx, self._prev_x0,
+                    self._active, self._cond)
+            else:
+                self._key, sk = jax.random.split(self._key)
+                (self._lat, self._step_idx, self._active, fin_dev,
+                 fin_lat) = self._step_jit(self.params, self._lat,
+                                           self._step_idx, self._active,
+                                           self._cond, sk)
             np.subtract(self._host_steps_left,
                         (self._host_busy & (self._host_steps_left > 0)),
                         out=self._host_steps_left)

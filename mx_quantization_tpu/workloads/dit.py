@@ -164,6 +164,11 @@ def build_argparser():
     p.add_argument("--exclude-blocks", type=int, nargs="*", default=[27])
     p.add_argument("--exclude-timesteps", type=int, nargs="*", default=[])
     p.add_argument("--engine", default="fused", choices=["fused", "ref"])
+    p.add_argument("--contract", default="exact",
+                   choices=["exact", "serving"],
+                   help="serving = relaxed fused-kernel attention tier "
+                        "(tie-inclusive selection, bf16 attn probs; "
+                        "divergence-bounded by tools/contract_trajectory)")
     p.add_argument("--anal", action="store_true",
                    help="per-block/timestep predictor-quality records "
                         "(reference --anal)")
@@ -181,7 +186,8 @@ def main(argv=None):
         mx_specs=specs, mx_quant=args.mx_quant, top_k=args.top_k, k=args.k,
         ex_pred=not args.no_ex_pred, pred_mode=args.pred_mode,
         exclude_blocks=tuple(args.exclude_blocks),
-        exclude_timesteps=tuple(args.exclude_timesteps))
+        exclude_timesteps=tuple(args.exclude_timesteps),
+        contract=args.contract)
 
     if args.ckpt:
         from ..utils.checkpoint import load_dit_checkpoint

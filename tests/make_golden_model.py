@@ -152,6 +152,19 @@ FP8_SPECS = ref_finalize({
     "custom_cuda": False, "quantize_backprop": False,
 })
 
+# MXFP4-e2m1 variant (round-4 verdict missing #4): the saturation-heaviest
+# grid — 1 mantissa bit, max_norm 6.0, subnormal step at 0.5 — where the
+# private-exponent clamp and max_norm bite hardest
+# (/root/reference/microxscaling/mx/cpp/quantize.cuh:88-155 semantics)
+FP4_SPECS = ref_finalize({
+    "w_elem_format": "fp4_e2m1", "a_elem_format": "fp4_e2m1",
+    "scale_bits": 8, "shared_exp_method": "max", "block_size": 32,
+    "bfloat": 16, "fp": 0, "bfloat_subnorms": True, "round": "nearest",
+    "round_mx_output": "nearest", "round_output": "nearest",
+    "round_weight": "nearest", "mx_flush_fp32_subnorms": False,
+    "custom_cuda": False, "quantize_backprop": False,
+})
+
 MODEL_KW = dict(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
                 depth=2, num_heads=2, num_classes=10)
 
@@ -224,6 +237,11 @@ def main():
         save["out_fp8_e4m3"] = run_with_block_captures(m, x, t, y, save,
                                                        "fp8_e4m3")
         print("fp8_e4m3", float(np.abs(save["out_fp8_e4m3"]).mean()))
+        # MXFP4-e2m1 at model level (saturation-heaviest grid)
+        m = build(specs=FP4_SPECS)
+        save["out_fp4_e2m1"] = run_with_block_captures(m, x, t, y, save,
+                                                       "fp4_e2m1")
+        print("fp4_e2m1", float(np.abs(save["out_fp4_e2m1"]).mean()))
         # true-score top-k (approx off), dense MX, and unquantized
         m = build(ex_pred=False)
         save["out_true_topk"] = m(x, t, y).numpy()

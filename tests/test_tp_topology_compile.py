@@ -73,3 +73,25 @@ def test_serving_engine_step_compiles_for_multihost_slice():
     assert "SERVING STEP COMPILED" in proc.stdout, proc.stdout
     tcc = [l for l in proc.stdout.splitlines() if "tpu_custom_call" in l]
     assert tcc and int(tcc[0].split(":")[1]) > 0, proc.stdout
+
+
+@pytest.mark.slow
+def test_pixart_dpm_serving_step_compiles_for_multihost_slice():
+    """Round-4: the PixArt-alpha DPM-Solver++ serving engine step
+    (engine_step_dpm — donated pool incl. per-slot prev_x0 multistep
+    state, per-slot coefficient gathers, text-condition pytree, MXINT8 +
+    self_k=77 two_step_leading_ones quantization ON) must AOT-compile for
+    a v5e:4x4 multi-host slice (BASELINE configs[4])."""
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "serving_topology_probe.py")
+    proc = subprocess.run([sys.executable, tool, "--engine", "dpm"],
+                          capture_output=True, text=True, env=env,
+                          timeout=560)
+    if proc.returncode != 0 and ("get_topology_desc" in proc.stderr
+                                  or "UNIMPLEMENTED" in proc.stderr):
+        pytest.skip(f"v5e:4x4 topology unavailable: {proc.stderr[-300:]}")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SERVING STEP COMPILED" in proc.stdout, proc.stdout
+    tcc = [l for l in proc.stdout.splitlines() if "tpu_custom_call" in l]
+    assert tcc and int(tcc[0].split(":")[1]) > 0, proc.stdout

@@ -57,7 +57,15 @@ def _setup(platform=None):
     return jax
 
 
-def _model(jax):
+TRAINED = "/root/repo/.cache/trained_dit_s2.npy"
+
+
+def _model(jax, weights: str = "random"):
+    """weights="random": every param randomized (round-3 protocol — the
+    std DiT zero-init gates would erase block contributions).
+    weights="trained": load the in-env QAT-trained DiT-S/2 params produced
+    by tools/train_debug_dit.py (round-3 verdict missing #1: trajectory
+    evidence in the TRAINED-attention regime, no external assets)."""
     import jax.numpy as jnp
     from mx_quantization_tpu.models import (DiT_models, DiTQuantConfig,
                                             dit_forward_with_cfg, init_dit)
@@ -66,28 +74,35 @@ def _model(jax):
 
     specs = dit_mx_specs("fused")
     cfg = DiT_models[MODEL](input_size=32)
-    params = init_dit(jax.random.key(0), cfg)
-    # init_dit zero-initializes the adaLN modulations and final layer
-    # (standard DiT init): gate_msa/gate_mlp == 0 would erase every
-    # block's contribution and make trajectory divergence vacuous —
-    # randomize EVERY parameter (the golden generators do the same)
-    leaves, tree = jax.tree.flatten(params)
-    keys = jax.random.split(jax.random.key(42), len(leaves))
-    leaves = [0.1 * jax.random.normal(k, l.shape, jnp.float32)
-              for k, l in zip(keys, leaves)]
-    params = jax.tree.unflatten(tree, leaves)
+    if weights == "trained":
+        if not os.path.exists(TRAINED):
+            raise SystemExit(f"{TRAINED} missing - run "
+                             "tools/train_debug_dit.py first")
+        params = jax.tree.map(
+            jnp.asarray, np.load(TRAINED, allow_pickle=True).item())
+    else:
+        params = init_dit(jax.random.key(0), cfg)
+        # init_dit zero-initializes the adaLN modulations and final layer
+        # (standard DiT init): gate_msa/gate_mlp == 0 would erase every
+        # block's contribution and make trajectory divergence vacuous —
+        # randomize EVERY parameter (the golden generators do the same)
+        leaves, tree = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.key(42), len(leaves))
+        leaves = [0.1 * jax.random.normal(k, l.shape, jnp.float32)
+                  for k, l in zip(keys, leaves)]
+        params = jax.tree.unflatten(tree, leaves)
     q_params, specs = prequantize_weights(params, specs,
                                           serve_dtype=jnp.bfloat16)
     return cfg, specs, q_params
 
 
-def phase_traj():
+def phase_traj(weights="random"):
     jax = _setup()
     import jax.numpy as jnp
     from mx_quantization_tpu.diffusion import create_diffusion
     from mx_quantization_tpu.models import DiTQuantConfig, dit_forward_with_cfg
 
-    cfg, specs, q_params = _model(jax)
+    cfg, specs, q_params = _model(jax, weights)
     diffusion = create_diffusion(str(STEPS))
 
     def qcfg(kb):
@@ -138,12 +153,13 @@ def phase_traj():
     d_seed = np.linalg.norm(lat32 - lat32b) / np.linalg.norm(lat32)
     print(f"final-latent divergence: kb8-vs-kb32 {d_kb:.4f}  "
           f"seed-to-seed floor {d_seed:.4f}")
-    np.savez_compressed(OUT, lat8=lat8, lat32=lat32, lat32b=lat32b,
+    out = OUT if weights == "random" else OUT.replace(".npz", "_trained.npz")
+    np.savez_compressed(out, lat8=lat8, lat32=lat32, lat32b=lat32b,
                         d_kb=d_kb, d_seed=d_seed, **caps)
-    print("wrote", OUT)
+    print("wrote", out)
 
 
-def phase_analyze():
+def phase_analyze(weights="random"):
     jax = _setup("cpu")
     import jax.numpy as jnp
     from mx_quantization_tpu.attention import predict_scores
@@ -155,8 +171,9 @@ def phase_analyze():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from keybits_quality import select
 
-    cfg, specs, q_params = _model(jax)
-    data = np.load(OUT)
+    cfg, specs, q_params = _model(jax, weights)
+    data = np.load(OUT if weights == "random"
+                   else OUT.replace(".npz", "_trained.npz"))
 
     qc = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=K,
                         ex_pred=True, pred_mode="ex_pred",
@@ -247,5 +264,7 @@ def phase_analyze():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=["traj", "analyze"], required=True)
+    ap.add_argument("--weights", choices=["random", "trained"],
+                    default="random")
     a = ap.parse_args()
-    (phase_traj if a.phase == "traj" else phase_analyze)()
+    (phase_traj if a.phase == "traj" else phase_analyze)(a.weights)

