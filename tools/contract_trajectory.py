@@ -113,7 +113,7 @@ def phase_traj(weights="random"):
     print("wrote", _out_path(weights))
 
 
-def phase_analyze(weights="random"):
+def phase_analyze(weights="random", modes=False):
     jax = _setup("cpu")
     import jax.numpy as jnp
     from mx_quantization_tpu.attention import predict_scores
@@ -157,6 +157,12 @@ def phase_analyze(weights="random"):
     y = jnp.array([3, 7], jnp.int32)
     steps = sorted(int(k.split("_")[1]) for k in data.files
                    if k.startswith("lat_"))
+    if modes:
+        steps = steps[:: max(1, len(steps) // 4)]  # 8-mode sweep: subsample
+    MODES = ("ex_pred", "two_step_leading_ones", "MXINT4", "partial_Q",
+             "partial_K", "true_ex", "threshold_ex", "ELSA")
+    om = None
+    mode_recall = {m: [] for m in MODES}
     rows = []
     for s in steps:
         captured.clear()
@@ -197,6 +203,30 @@ def phase_analyze(weights="random"):
             msrv = (p * s_srv).sum(-1) / t_mass
             rows.append((s, bi, m32.mean(), m8.mean(), msrv.mean(),
                          s_srv.sum(-1).mean()))
+            if modes:
+                # predictor-mode recall sweep on the same activations
+                # (round-3 verdict missing #1: the sweep in the TRAINED
+                # regime; exact kb=32 selection per mode)
+                for md in MODES:
+                    if md == "ELSA":
+                        if om is None:
+                            from mx_quantization_tpu.predictors.elsa import \
+                                create_structured_orthogonal_matrix
+                            om = jnp.asarray(
+                                create_structured_orthogonal_matrix(D))
+                        pm = np.asarray(predict_scores(
+                            jnp.asarray(qf), jnp.asarray(kf), specs, md,
+                            om), np.float32)
+                    else:
+                        pm = np.asarray(predict_scores(
+                            jnp.asarray(qf), jnp.asarray(kf), specs, md),
+                            np.float32)
+                    kmb = np.ascontiguousarray(pm).view(np.int32)
+                    kmb = np.where(kmb >= 0, kmb,
+                                   ~kmb ^ np.int32(-2 ** 31))
+                    sm = select(kmb, K)
+                    mode_recall[md].append(
+                        float(((p * sm).sum(-1) / t_mass).mean()))
 
     print("step block  recall32  recall8   recall_serving  nsel_serving")
     agg = np.array([(r[2], r[3], r[4], r[5]) for r in rows])
@@ -211,6 +241,12 @@ def phase_analyze(weights="random"):
     print(f"final-latent: serving-vs-exact32 {float(data['d_srv32']):.4f}  "
           f"exact8-vs-exact32 {float(data['d_832']):.4f}  "
           f"seed floor {float(data['d_seed']):.4f}")
+    if modes:
+        print(f"\nPREDICTOR-MODE softmax-mass recall "
+              f"({weights} weights, exact kb=32 selection, k={K}):")
+        for md in MODES:
+            if mode_recall[md]:
+                print(f"  {md:24s} {np.mean(mode_recall[md]):.5f}")
 
 
 if __name__ == "__main__":
@@ -218,5 +254,10 @@ if __name__ == "__main__":
     ap.add_argument("--phase", choices=["traj", "analyze"], required=True)
     ap.add_argument("--weights", choices=["random", "trained"],
                     default="random")
+    ap.add_argument("--modes", action="store_true",
+                    help="analyze: add the 8-predictor-mode recall sweep")
     a = ap.parse_args()
-    (phase_traj if a.phase == "traj" else phase_analyze)(a.weights)
+    if a.phase == "traj":
+        phase_traj(a.weights)
+    else:
+        phase_analyze(a.weights, modes=a.modes)

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--fp", action="store_true")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--contract", default="exact",
+                    choices=["exact", "serving"])
     ap.add_argument("--trace-dir", default="/tmp/mx_step_trace")
     args = ap.parse_args()
 
@@ -58,6 +60,7 @@ def main():
         qcfg = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True,
                               k=154, ex_pred=True, pred_mode="ex_pred",
                               exclude_blocks=(27,), topk_key_bits=8,
+                              contract=args.contract,
                               activation_dtype="bfloat16")
         p = q_params
 

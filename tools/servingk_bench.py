@@ -1,0 +1,191 @@
+"""Serving-tier kernel variant probe (round 4): with the tie-rank matmul
+gone, the MXU sits idle during selection — re-test ideas the EXACT tier
+measured as dead ends, plus bf16 VPU passes the serving contract can admit.
+
+Variants (all serving semantics: tie-inclusive selection, bf16 attn,
+no emulation rounds; quality deltas belong to tools/contract_trajectory):
+
+  base   : the production serving pipeline (cross-check vs prod entry)
+  mxc    : bisection counts via MXU ones-matvec on bf16 indicators
+           (round-1 dead end WITH tie-rank on MXU; retest without)
+  fscale : fold the *scale pass into the softmax exp argument
+  bfsm   : softmax chain (masked/exp/div) in bf16 vector arithmetic
+  all    : fscale + bfsm
+
+Run on the TPU: python tools/servingk_bench.py
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+os.makedirs("/root/repo/.cache/jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from mx_quantization_tpu.ops.kernels.topk_attention import (
+    _bf16_round, _kth_keys, _mono_keys_top, _prep_side, _quant_axis0,
+    fused_topk_attention)
+
+B, H, N, D = 16, 16, 256, 72
+S = N
+K = 154
+BS, MBITS, SB = 32, 8, 8
+SCALE = D ** -0.5
+CELLS = 16
+G = B * H
+BF = 16
+
+
+def _cell(q_nd, k_nd, v_nd, o_ref, c, mode):
+    qv, aq = _prep_side(q_nd, BS, MBITS, SB, D, True, "ex_pred",
+                        side="q", bfloat=BF)
+    kv, ak = _prep_side(k_nd, BS, MBITS, SB, D, True, "ex_pred",
+                        side="k", bfloat=BF)
+    v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
+
+    dn = (((0,), (0,)), ((), ()))
+    s_raw = jax.lax.dot_general(kv, qv, dn,
+                                preferred_element_type=jnp.float32)
+    s_sel = jax.lax.dot_general(ak, aq, dn,
+                                preferred_element_type=jnp.float32)
+
+    keys = _mono_keys_top(s_sel, 24)
+    if "mxc" in mode:
+        ones_row = jnp.ones((8, S), jnp.bfloat16)
+        lo = jnp.full((1, N), jnp.int32(-128))
+        hi = jnp.full((1, N), jnp.int32(127))
+
+        def body(state):
+            lo, hi = state
+            mid = lo + jax.lax.shift_right_logical(hi - lo, 1)
+            ind = (keys > mid).astype(jnp.float32).astype(jnp.bfloat16)
+            cnt = jax.lax.dot_general(
+                ones_row, ind, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:1].astype(jnp.int32)
+            up = cnt >= K
+            return (jnp.where(up, mid + 1, lo), jnp.where(up, hi, mid))
+
+        state = (lo, hi)
+        for _ in range(8):
+            state = body(state)
+        kth = state[0]
+    else:
+        kth, _ = _kth_keys(keys, K, n_iters=8, lo_init=-128, hi_init=127)
+    sel = keys >= kth
+
+    neg = jnp.full((S, N), -3.0e38, jnp.float32)
+    if "bfsm" in mode:
+        s_b = (s_raw if "fscale" in mode else s_raw * SCALE
+               ).astype(jnp.bfloat16)
+        negb = jnp.full((S, N), -3.0e38, jnp.bfloat16)
+        masked = jnp.where(sel, s_b, negb)
+        m = jnp.max(masked, axis=0, keepdims=True)
+        arg = (masked - m)
+        if "fscale" in mode:
+            arg = arg * jnp.bfloat16(SCALE)
+        e = jnp.exp(arg)
+        at_q = e / jnp.sum(e, axis=0, keepdims=True)
+        at_q = at_q.astype(jnp.bfloat16)
+    else:
+        s_true = s_raw if "fscale" in mode else s_raw * SCALE
+        masked = jnp.where(sel, s_true, neg)
+        m = jnp.max(masked, axis=0, keepdims=True)
+        arg = masked - m
+        if "fscale" in mode:
+            arg = arg * SCALE
+        e = jnp.exp(arg)
+        at_q = (e / jnp.sum(e, axis=0, keepdims=True)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(at_q, v_q, dn,
+                              preferred_element_type=jnp.float32)
+    o_ref[c] = out.astype(jnp.bfloat16)
+
+
+def make(mode):
+    def kern(q_ref, k_ref, v_ref, o_ref):
+        for c in range(CELLS):
+            _cell(q_ref[c], k_ref[c], v_ref[c], o_ref, c, mode)
+
+    @jax.jit
+    def run(q, k, v):
+        return pl.pallas_call(
+            kern,
+            grid=(G // CELLS,),
+            in_specs=[pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, N, D), jnp.bfloat16),
+            interpret=jax.default_backend() != "tpu",
+        )(q, k, v)
+
+    return run
+
+
+def timed_chain(fn, q, k, v, n0=8, n1=72, reps=4):
+    @jax.jit
+    def fetch(x):
+        return jnp.sum(x.astype(jnp.float32))
+
+    o = fn(q, k, v)
+    _ = np.asarray(fetch(o))
+
+    def run(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = q
+            for _ in range(n):
+                o = fn(o, k, v)
+            _ = np.asarray(fetch(o))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(n1) - run(n0)) / (n1 - n0)
+
+
+def main():
+    q = jax.random.normal(jax.random.key(0), (G, N, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(1), (G, N, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (G, N, D), jnp.bfloat16)
+
+    @jax.jit
+    def prod(q, k, v):
+        return fused_topk_attention(
+            q.reshape(B, H, N, D), k.reshape(B, H, N, D),
+            v.reshape(B, H, N, D), k=K, scale=SCALE, approx=True,
+            pred_mode="ex_pred", key_bits=8, out_dtype=jnp.bfloat16,
+            bfloat=BF, contract="serving").reshape(G, N, D)
+
+    ref = np.asarray(prod(q, k, v), np.float32)
+    t = timed_chain(prod, q, k, v)
+    print(f"prod_serving: {t*1e6:.0f}us/call", flush=True)
+
+    modes = os.environ.get("MODES", "base,mxc,fscale,bfsm,fscale+bfsm"
+                           ).split(",")
+    for mode in modes:
+        fn = make(mode)
+        try:
+            o = np.asarray(fn(q, k, v), np.float32)
+        except Exception as e:
+            print(f"{mode}: FAILED {str(e)[:160]}", flush=True)
+            continue
+        exact = np.array_equal(o, ref)
+        md = np.abs(o - ref).max()
+        t = timed_chain(fn, q, k, v)
+        print(f"{mode}: {t*1e6:.0f}us/call exact={exact} maxdiff={md:.4g}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
