@@ -33,10 +33,8 @@ def main():
                                             dit_forward_with_cfg, init_dit)
     from mx_quantization_tpu.utils.prequantize import prequantize_weights
 
-    specs = finalize_mx_specs(dict(
-        w_elem_format="int8", a_elem_format="int8", scale_bits=8,
-        block_size=32, bfloat=0, quantize_backprop=False,
-        custom_tpu="fused"))
+    from mx_quantization_tpu.workloads.dit import dit_mx_specs
+    specs = dit_mx_specs("fused")  # exact operating point (bfloat=16)
     cfg = DiT_models["DiT-XL/2"](input_size=32)
     params = init_dit(jax.random.key(0), cfg)
     q_params, specs = prequantize_weights(params, specs,
@@ -44,6 +42,7 @@ def main():
     qcfg = DiTQuantConfig(mx_specs=specs, mx_quant=True, top_k=True,
                           k=154, ex_pred=True, pred_mode="ex_pred",
                           exclude_blocks=(27,), topk_key_bits=8,
+                          contract=os.environ.get("CONTRACT", "exact"),
                           activation_dtype="bfloat16")
 
     def f(params, x, t, y):

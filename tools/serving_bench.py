@@ -1,12 +1,18 @@
 """Continuous-batching serving throughput on the real chip.
 
-Measures the DiffusionServer end to end with the quantized DiT-XL/2 at the
-exact reference operating point: a request stream larger than the slot
-pool, reporting steady-state imgs/sec and per-request latency percentiles.
-The slot state is device-resident with donated buffers; the host fetches a
-(slots,) mask per step plus finished latents only.
+Measures the DiffusionServer end to end at the reference operating points:
+  --model dit     quantized DiT-XL/2, DDPM 100 steps (run_dit.sh)
+  --model pixart  quantized PixArt-alpha 256, MXINT8 + self_k=77
+                  two_step_leading_ones, DPM-Solver++ 20 steps
+                  (run_pixart_alpha.sh:31-42)
+with a request stream larger than the slot pool, reporting steady-state
+imgs/sec and per-request latency percentiles.  The slot state is
+device-resident with donated buffers; the host fetches a (slots,) mask per
+step plus finished latents only.  --contract serving selects the relaxed
+attention-kernel tier.
 
-Usage: python tools/serving_bench.py [--slots 32] [--steps 100] [--reqs 64]
+Usage: python tools/serving_bench.py [--model dit|pixart] [--slots 32]
+           [--steps N] [--reqs 64] [--contract exact|serving]
 """
 
 import argparse

@@ -13,6 +13,18 @@ no emulation rounds; quality deltas belong to tools/contract_trajectory):
   all    : fscale + bfsm
 
 Run on the TPU: python tools/servingk_bench.py
+
+MEASURED (round 4, one in-run comparison; prod_serving 364us/call):
+  base 370 (== prod, cross-check)  mxc 458  fscale 482  bfsm 396
+  fscale+bfsm 457
+All three ideas are DEAD ENDS even with the MXU idle: the ones-matvec
+count still serializes against the VPU compare that builds its
+indicator; the folded scale adds a multiply to the exp argument that
+costs more than the standalone pass it deletes (Mosaic already fuses
+the scale into a neighboring pass); bf16 softmax arithmetic wins
+nothing (converted to f32 internally).  The serving pipeline as shipped
+is at its local optimum — further kernel gains need structural change
+(e.g. per-key-block score bounds to skip whole blocks of keys).
 """
 
 import functools
