@@ -22,9 +22,12 @@ count still serializes against the VPU compare that builds its
 indicator; the folded scale adds a multiply to the exp argument that
 costs more than the standalone pass it deletes (Mosaic already fuses
 the scale into a neighboring pass); bf16 softmax arithmetic wins
-nothing (converted to f32 internally).  The serving pipeline as shipped
-is at its local optimum — further kernel gains need structural change
-(e.g. per-key-block score bounds to skip whole blocks of keys).
+nothing (converted to f32 internally).  Cell-count re-sweep with the
+tie-rank VMEM freed (MXQ_ATTN_CELLS env probe, in-run): 16 -> 357us,
+24 -> 406, 32 -> 410, 48 -> 370, 64 -> 461 — 16 cells stays optimal.
+The serving pipeline as shipped is at its local optimum — further
+kernel gains need structural change (e.g. per-key-block score bounds
+to skip whole blocks of keys).
 """
 
 import functools
