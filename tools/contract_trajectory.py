@@ -156,7 +156,7 @@ def phase_analyze(weights="random", modes=False):
     tmap = np.asarray(create_diffusion(str(STEPS)).timestep_map)
     y = jnp.array([3, 7], jnp.int32)
     steps = sorted(int(k.split("_")[1]) for k in data.files
-                   if k.startswith("lat_"))
+                   if k.startswith("lat_") and k.split("_")[1].isdigit())
     if modes:
         steps = steps[:: max(1, len(steps) // 4)]  # 8-mode sweep: subsample
     MODES = ("ex_pred", "two_step_leading_ones", "MXINT4", "partial_Q",
