@@ -13,6 +13,15 @@ between tunnel sessions — round-3 fact).  Run on the TPU:
 
   python tools/passprice_bench.py            # ladder
   MODES=prod_exact,prod_serving python tools/passprice_bench.py
+
+MEASURED (round 4, one in-run ladder; us/call over 256 cells):
+  prod_exact 607, prod_serving 416 (1.46x).  Ladder cross-checks:
+  L15(=exact) 605, L12(=serving) 400.  Stable top deltas (the
+  exact-only passes): L13 score-bf16-round +26, L14 attn-round+
+  MX-requantize +92, L15 tie-rank +88 — summing to the 607-416 gap.
+  The LOW rungs are NOT additive (L00 dma-only 514 > L02 matmuls 291):
+  with no compute to overlap, Mosaic's DMA pipeline stalls differently —
+  treat rungs below L05 as pipeline-noise floor probes, not pass prices.
 """
 
 import functools
