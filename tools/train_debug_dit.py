@@ -81,6 +81,12 @@ def main():
             y = rng.randint(0, a.classes, a.batch)
             x0 = patterns[y] + 0.25 * rng.randn(
                 a.batch, 4, 32, 32).astype(np.float32)
+            # 10% label dropout to the CFG null class (reference
+            # class_dropout_prob=0.1): without this the null embedding
+            # stays at its random init and CFG sampling from the trained
+            # model EXPLODES (measured: latents +-780 at cfg_scale 4)
+            drop = rng.rand(a.batch) < 0.1
+            y = np.where(drop, cfg.num_classes, y)
             yield x0.astype(np.float32), y
 
     params, ema = train(cfg, qcfg, synth(), steps=a.steps, lr=a.lr,
