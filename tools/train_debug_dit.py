@@ -91,7 +91,11 @@ def main():
 
     params, ema = train(cfg, qcfg, synth(), steps=a.steps, lr=a.lr,
                         log_every=50)
-    np.save(OUT, jax.tree.map(np.asarray, ema), allow_pickle=True)
+    # save the RAW params: at decay 0.9999 the EMA after a few hundred
+    # steps is still ~95% of the ZERO-INIT adaLN gates (measured: saving
+    # the EMA produced a near-identity model whose CFG sampler drifted to
+    # |latent| ~ 800 and made tier divergences vacuously ~0)
+    np.save(OUT, jax.tree.map(np.asarray, params), allow_pickle=True)
     print("wrote", OUT)
 
 
