@@ -3,20 +3,25 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
 
-Measured workload: the reference's EXACT DiT operating point
-(run_dit.sh:16-28 + sample.py:36-52) — DiT-XL/2 at 256x256 latents
-(32x32x4), MXINT8 weight+activation quantization with bfloat=16 elementwise
-quantization (dit_mx_specs — the literal reference spec dict, fused TPU
-engine), exp-sign top-k attention k=154, block 27 excluded, CFG batch
-doubling, 100 denoise steps.
+Measured workload: the reference's DiT operating point (run_dit.sh:16-28 +
+sample.py:36-52) — DiT-XL/2 at 256x256 latents (32x32x4), MXINT8
+weight+activation quantization with bfloat=16 elementwise quantization
+(dit_mx_specs — the literal reference spec dict, fused TPU engine),
+exp-sign top-k attention k=154, block 27 excluded, CFG batch doubling, 100
+denoise steps.
 
-``value`` is measured through the PRODUCT PATH: it times
-workloads.dit.sample_dit — the same function `python -m
+``value`` (the headline) runs the SERVING tier of the attention kernel
+(contract="serving": tie-inclusive selection — a superset of the exact
+full-precision top-k — bf16 attention probabilities, no emulation-ordered
+score/PV rounds; divergence and recall evidence in docs/ACCURACY.md #5);
+``exact_tier_imgs_per_sec`` reports the bit-faithful exact tier at the
+same operating point.  Both are measured through the PRODUCT PATH: they
+time workloads.dit.sample_dit — the same function `python -m
 mx_quantization_tpu.workloads.dit` runs — for the full 100-step protocol
-(one jitted denoise step with a traced timestep index, so the loop compiles
-once).  ``vs_baseline`` = speedup of the quantized step over the unquantized
-model, measured step-level with dispatch/fetch overhead cancelled (two
-chain lengths).
+(one jitted denoise step with a traced timestep index, so the loop
+compiles once).  ``vs_baseline`` = speedup of the quantized step over the
+unquantized model, measured step-level with dispatch/fetch overhead
+cancelled (two chain lengths).
 """
 
 import functools

@@ -64,7 +64,8 @@ def deit_probe(model="deit_small_patch16_224", k=60, B=100,
     params = init_vit(jax.random.key(0), cfg)
     q_params, specs = prequantize_weights(params, SPECS)
     qcfg = VitQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=k,
-                          approx_flag=True, pred_mode=pred_mode)
+                          approx_flag=True, pred_mode=pred_mode,
+                          contract=os.environ.get("CONTRACT", "exact"))
     x = jax.random.normal(jax.random.key(1), (B, 3, 224, 224))
 
     @jax.jit
@@ -101,6 +102,7 @@ def pixart_probe(B=8, steps=20):
                                cross_top_k=True, cross_k=60,
                                pred_mode=pred_mode, exclude_blocks=(27,),
                                topk_key_bits=8,
+                               contract=os.environ.get("CONTRACT", "exact"),
                                activation_dtype="bfloat16")
 
         @jax.jit
