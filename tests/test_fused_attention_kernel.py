@@ -604,3 +604,21 @@ def test_fp_elemwise_and_odd_bfloat_fall_back_to_xla(knobs):
     assert np.isfinite(np.asarray(out_f)).all()
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_serving_tier_query_tiled_long_sequence():
+    """contract='serving' through the query-tiled kernel (N > 512): the
+    relaxed pipeline must match the serving reference row-for-row (the
+    K-side scratch caching and q_offset plumbing are shared with the
+    exact tier; this pins the relaxed branches under tiling)."""
+    rng = np.random.RandomState(9)
+    B, H, N, D = 1, 1, 640, 64   # three 256-query tiles
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    out_k = fused_topk_attention(q, k, v, k=40, scale=D ** -0.5,
+                                 key_bits=8, contract="serving")
+    ref, sel, _, _ = _serving_reference(q, k, v, 40, D ** -0.5, 8)
+    np.testing.assert_allclose(np.asarray(out_k), ref, rtol=2e-4, atol=2e-4)
+    assert (sel.sum(-1) >= 40).all()
