@@ -239,14 +239,46 @@ def load_pixart_checkpoint(path: str, num_layers: int = 28):
     return p
 
 
+# the two public DiT release checkpoints (reference download.py:15)
+PRETRAINED_DIT = ("DiT-XL-2-256x256.pt", "DiT-XL-2-512x512.pt")
+_DIT_URL = "https://dl.fbaipublicfiles.com/DiT/models/"
+
+
+def download_model(model_name: str, ckpt_dir: Optional[str] = None) -> str:
+    """Download a canonical DiT checkpoint (reference download.py:32-43
+    download_model) into ``ckpt_dir`` (default $DIT_CKPT_DIR or
+    ./pretrained_models); returns the local path.  Raises OSError with the
+    manual-retrieval URL when the environment has no network access."""
+    assert model_name in PRETRAINED_DIT, model_name
+    ckpt_dir = ckpt_dir or os.environ.get("DIT_CKPT_DIR",
+                                          "pretrained_models")
+    local = os.path.join(ckpt_dir, model_name)
+    if os.path.isfile(local):
+        return local
+    os.makedirs(ckpt_dir, exist_ok=True)
+    url = _DIT_URL + model_name
+    import urllib.request
+    tmp = local + ".part"
+    try:
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, local)
+    except Exception as e:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise OSError(
+            f"could not download {url} ({e}); this environment may have no "
+            f"network access — fetch it manually into {ckpt_dir}/") from e
+    return local
+
+
 def find_model(model_name_or_path: str, depth: int = 28):
     """Resolve a DiT checkpoint (reference download.py:18-30 find_model).
 
     Accepts a local file path, or one of the canonical names
     ("DiT-XL-2-256x256.pt" / "DiT-XL-2-512x512.pt") searched in
-    $DIT_CKPT_DIR and ./pretrained_models.  This environment has no network
-    access, so unlike the reference there is no auto-download — a missing
-    checkpoint raises with the public URL for manual retrieval.
+    $DIT_CKPT_DIR and ./pretrained_models and AUTO-DOWNLOADED from the
+    public release URL when absent (download_model); a download failure
+    (e.g. no network) raises with the URL for manual retrieval.
     """
     candidates = [model_name_or_path]
     ckpt_dir = os.environ.get("DIT_CKPT_DIR", "pretrained_models")
@@ -254,10 +286,12 @@ def find_model(model_name_or_path: str, depth: int = 28):
     for c in candidates:
         if os.path.isfile(c):
             return load_dit_checkpoint(c, depth=depth)
+    if model_name_or_path in PRETRAINED_DIT:
+        return load_dit_checkpoint(download_model(model_name_or_path),
+                                   depth=depth)
     raise FileNotFoundError(
         f"checkpoint {model_name_or_path!r} not found locally; download "
-        "from https://dl.fbaipublicfiles.com/DiT/models/ and place it in "
-        f"{ckpt_dir}/")
+        f"from {_DIT_URL} and place it in {ckpt_dir}/")
 
 
 # ----------------------------------------------------------------------

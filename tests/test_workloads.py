@@ -227,3 +227,49 @@ def test_parse_trace(tmp_path):
     assert out == {"matmul": 30, "fusion.1": 15}
     assert list(out) == ["matmul", "fusion.1"]  # descending
     assert parse_trace(str(tmp_path), top=1) == {"matmul": 30}
+
+
+def test_checkpoint_auto_download_paths(tmp_path, monkeypatch):
+    """find_model auto-download (reference download.py:18-43): canonical
+    names fetch from the release URL into $DIT_CKPT_DIR (urllib mocked —
+    no network in this environment); a failing fetch raises OSError with
+    the manual-retrieval URL; unknown names raise FileNotFoundError."""
+    import io
+    import os
+    import pytest
+    import torch
+    from mx_quantization_tpu.utils import checkpoint as ck
+
+    monkeypatch.setenv("DIT_CKPT_DIR", str(tmp_path))
+
+    # build a tiny valid checkpoint the mocked download will deliver
+    from tests.make_golden_model import MODEL_KW  # debug-scale dims
+    sd_src = os.path.join(os.path.dirname(__file__), "golden",
+                          "dit_model_sd.pt")
+    payload = open(sd_src, "rb").read()
+
+    def fake_retrieve(url, dst):
+        assert url.startswith("https://dl.fbaipublicfiles.com/DiT/models/")
+        with open(dst, "wb") as f:
+            f.write(payload)
+
+    import urllib.request
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    params = ck.find_model("DiT-XL-2-256x256.pt", depth=2)
+    assert "blocks" in params
+    # cached now: a second resolve must not re-download
+    monkeypatch.setattr(urllib.request, "urlretrieve",
+                        lambda *a: (_ for _ in ()).throw(AssertionError))
+    params2 = ck.find_model("DiT-XL-2-256x256.pt", depth=2)
+    assert "blocks" in params2
+
+    # failing fetch -> OSError with the URL; no partial file left behind
+    def fail_retrieve(url, dst):
+        raise OSError("no route to host")
+    monkeypatch.setattr(urllib.request, "urlretrieve", fail_retrieve)
+    with pytest.raises(OSError, match="dl.fbaipublicfiles.com"):
+        ck.download_model("DiT-XL-2-512x512.pt")
+    assert not os.path.exists(tmp_path / "DiT-XL-2-512x512.pt.part")
+
+    with pytest.raises(FileNotFoundError):
+        ck.find_model("not-a-model.pt", depth=2)
