@@ -622,3 +622,19 @@ def test_serving_tier_query_tiled_long_sequence():
     ref, sel, _, _ = _serving_reference(q, k, v, 40, D ** -0.5, 8)
     np.testing.assert_allclose(np.asarray(out_k), ref, rtol=2e-4, atol=2e-4)
     assert (sel.sum(-1) >= 40).all()
+
+
+@pytest.mark.parametrize("pred_mode", ["two_step_leading_ones", "MXINT4"])
+def test_serving_tier_other_predictors(pred_mode):
+    """The serving relaxations are predictor-agnostic: the DeiT-base /
+    PixArt operating-point predictors through the relaxed pipeline must
+    match the serving reference."""
+    q = rand(1, 2, 128, 64, seed=110)
+    k = rand(1, 2, 128, 64, seed=111)
+    v = rand(1, 2, 128, 64, seed=112)
+    out_k = fused_topk_attention(q, k, v, k=24, scale=0.125, key_bits=8,
+                                 pred_mode=pred_mode, contract="serving")
+    ref, sel, _, _ = _serving_reference(q, k, v, 24, 0.125, 8,
+                                        pred_mode=pred_mode)
+    np.testing.assert_allclose(np.asarray(out_k), ref, rtol=2e-4, atol=2e-4)
+    assert (sel.sum(-1) >= 24).all()
