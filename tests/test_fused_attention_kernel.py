@@ -638,3 +638,39 @@ def test_serving_tier_other_predictors(pred_mode):
                                         pred_mode=pred_mode)
     np.testing.assert_allclose(np.asarray(out_k), ref, rtol=2e-4, atol=2e-4)
     assert (sel.sum(-1) >= 24).all()
+
+
+def test_serving_tier_with_cross_attention_bias():
+    """PixArt cross-attention contract under serving: the additive key
+    mask biases BOTH the true and predicted scores in the relaxed
+    pipeline (dense + top-k paths)."""
+    from mx_quantization_tpu.attention import topk_attention
+    rng = np.random.RandomState(120)
+    B, H, N, S, D = 1, 2, 64, 64, 64
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    # mask the last 32 keys (T5-padding pattern), aligned to the MX block
+    # boundary: V is block-quantized along S, so a PARTIALLY-masked block's
+    # shared exponent would legitimately couple masked-row values into
+    # valid rows (reference semantics) — full-block masking isolates the
+    # "masked keys contribute nothing" property
+    bias = jnp.where(jnp.arange(S) < 32, 0.0, -1e9
+                     ).reshape(1, 1, 1, S).astype(jnp.float32)
+    cfg = TopKAttentionConfig(mx_quant=True, top_k=True, k=12, key_bits=8,
+                              approx_flag=True, contract="serving")
+    out, idx = topk_attention(q, k, v, 0.125, FUSED, cfg, bias=bias)
+    assert idx is None and np.isfinite(np.asarray(out)).all()
+
+    # masked keys must contribute nothing: perturbing their V rows is a
+    # no-op on the output
+    v2 = v.at[:, :, 32:, :].add(100.0)
+    out2, _ = topk_attention(q, k, v2, 0.125, FUSED, cfg, bias=bias)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    # dense (top_k off) serving path with the same bias
+    cfg_d = TopKAttentionConfig(mx_quant=True, top_k=False,
+                                contract="serving")
+    outd, _ = topk_attention(q, k, v, 0.125, FUSED, cfg_d, bias=bias)
+    outd2, _ = topk_attention(q, k, v2, 0.125, FUSED, cfg_d, bias=bias)
+    np.testing.assert_array_equal(np.asarray(outd), np.asarray(outd2))

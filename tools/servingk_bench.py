@@ -204,3 +204,97 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def probe_pretransposed():
+    """Price the in-kernel q/k transposes: feed operands ALREADY in the
+    (D, N) transposed layout and skip the transpose inside _prep_side.
+    If base-minus-pret is small, the transposed-qkv-emission redesign
+    (model-side layout change) isn't worth its complexity."""
+    from mx_quantization_tpu.ops.kernels.topk_attention import (
+        _quant_axis0, _exp_sign_approx, _round_up)
+    Dp = _round_up(D, BS)
+
+    def cell_pret(qt, kt, v_nd, o_ref, c):
+        # qt/kt arrive (Dp, N) bf16 — no transpose, no pad
+        def quant_side(xt):
+            vals, exps = _quant_axis0(xt.astype(jnp.float32), BS, MBITS, SB)
+            return vals, _exp_sign_approx(vals, exps, BS)
+        qv, aq = quant_side(qt)
+        kv, ak = quant_side(kt)
+        v_q, _ = _quant_axis0(v_nd.astype(jnp.float32), BS, MBITS, SB)
+        dn = (((0,), (0,)), ((), ()))
+        s_raw = jax.lax.dot_general(kv, qv, dn,
+                                    preferred_element_type=jnp.float32)
+        s_sel = jax.lax.dot_general(ak, aq, dn,
+                                    preferred_element_type=jnp.float32)
+        keys = _mono_keys_top(s_sel, 24)
+        kth, _ = _kth_keys(keys, K, n_iters=8, lo_init=-128, hi_init=127)
+        sel = keys >= kth
+        neg = jnp.full((S, N), -3.0e38, jnp.float32)
+        s_true = s_raw * SCALE
+        masked = jnp.where(sel, s_true, neg)
+        m = jnp.max(masked, axis=0, keepdims=True)
+        e = jnp.exp(masked - m)
+        at_q = (e / jnp.sum(e, axis=0, keepdims=True)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(at_q, v_q, dn,
+                                  preferred_element_type=jnp.float32)
+        o_ref[c] = out.astype(jnp.bfloat16)
+
+    def kern(q_ref, k_ref, v_ref, o_ref):
+        for c in range(CELLS):
+            cell_pret(q_ref[c], k_ref[c], v_ref[c], o_ref, c)
+
+    @jax.jit
+    def run(q, k, v):
+        return pl.pallas_call(
+            kern,
+            grid=(G // CELLS,),
+            in_specs=[
+                pl.BlockSpec((CELLS, Dp, N), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CELLS, Dp, N), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((CELLS, N, D), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, N, D), jnp.bfloat16),
+            interpret=jax.default_backend() != "tpu",
+        )(q, k, v)
+
+    qt = jax.random.normal(jax.random.key(0), (G, Dp, N), jnp.bfloat16)
+    kt = jax.random.normal(jax.random.key(1), (G, Dp, N), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (G, N, D), jnp.bfloat16)
+    fetch = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    _ = np.asarray(fetch(run(qt, kt, v)))
+
+    def chain(n, reps=4):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = v
+            for _ in range(n):
+                o = run(qt, kt, o)
+            _ = np.asarray(fetch(o))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    t = (chain(72) - chain(8)) / 64
+    print(f"pretransposed-serving: {t*1e6:.0f}us/call "
+          f"(compare vs the base serving variant IN THE SAME RUN)",
+          flush=True)
+
+
+if os.environ.get("PROBE") == "pret":
+    # run main's base variant then the pretransposed probe, one process
+    def _probe_main():
+        q = jax.random.normal(jax.random.key(0), (G, N, D), jnp.bfloat16)
+        k = jax.random.normal(jax.random.key(1), (G, N, D), jnp.bfloat16)
+        v = jax.random.normal(jax.random.key(2), (G, N, D), jnp.bfloat16)
+        fn = make("base")
+        _ = np.asarray(fn(q, k, v))
+        t = timed_chain(fn, q, k, v)
+        print(f"base-serving: {t*1e6:.0f}us/call", flush=True)
+        probe_pretransposed()
+    _probe_main()
+    sys.exit(0)
