@@ -298,3 +298,18 @@ if os.environ.get("PROBE") == "pret":
         probe_pretransposed()
     _probe_main()
     sys.exit(0)
+
+# ROUND-4 DEAD END (measured end-to-end, then REVERTED): feeding q/k
+# PRE-TRANSPOSED to the kernel looked like a big win in isolation
+# (pretransposed-serving 347 vs base 587 us/call in-run above), but
+# moving the transpose to an XLA-side relayout of the qkv linear output
+# REGRESSED the full bench: serving 2.043 -> 1.921, exact 1.872 -> 1.732
+# imgs/sec/chip.  Round-1's conclusion stands at step level: the in-VMEM
+# per-cell transposes overlap the Mosaic pipeline almost for free, while
+# the HBM relayout pass is real serial memory traffic (and the split
+# qk_t/v operand pair pipelines DMA worse than one contiguous block).
+# The isolated-probe delta measures the VMEM-layout benefit WITHOUT the
+# cost of producing that layout.  A true fix would emit q/k transposed
+# straight from the qkv matmul (MXU can), but that requires splitting
+# the quantized qkv linear into two differently-laid-out matmuls —
+# untried, the remaining candidate for a structural kernel win.
