@@ -87,6 +87,13 @@ class DiTQuantConfig:
     # the kernel only adds in-VMEM transpose work) — kept as an opt-in for
     # shapes where the XLA chain does materialize.
     fuse_ln_modulate: bool = False
+    # qkv projection layout: "fused" (one matmul, the qkv-direct kernel
+    # entry) or "split_t" (round-4 opt-in: emit q/k PRE-TRANSPOSED straight
+    # from a split projection — the MXU produces the kernel's operand
+    # layout natively, deleting the per-cell in-VMEM transposes; numerics
+    # value-identical modulo f32 accumulation order).  INFERENCE-ONLY (no
+    # custom VJP on the split-emission entry yet).
+    qkv_layout: str = "fused"
 
     def block_attn_cfg(self, idx: int,
                        timestep_idx: Optional[int]) -> TopKAttentionConfig:
@@ -198,13 +205,90 @@ def init_dit(key: jax.Array, cfg: DiTConfig) -> Params:
 
 
 # ----------------------------------------------------------------------
+def _qkv_split_t(x, p_qkv, mxs, H, D, x_prequantized):
+    """Quantized qkv projection emitting q/k PRE-TRANSPOSED as
+    (2*H*Dp, B, N) straight from the MXU dot (plus v in the standard
+    (B, N, H*D) layout) — value-identical to linear(x, Wqkv) reordered:
+    same contraction per element, same bf_fast rounding order, the
+    activation quantized ONCE and shared by both matmuls.  Head rows are
+    zero-padded to the MX block via the WEIGHT/bias pad (free), which is
+    exactly the zero padding the kernel's own prep applied.  Serving fast
+    path only (gated by fused_eligible at the call site)."""
+    from ..ops.fastquant import bf_fast, quantize_mx_fast, quantize_mx_serving
+    specs = mxs
+    bs = specs.block_size
+    sb = specs.effective_scale_bits()
+    fl = specs.mx_flush_fp32_subnorms
+    Dp = -(-max(D, 8) // bs) * bs
+    if x_prequantized or specs.prequantized_activations:
+        qx = bf_fast(x, specs).astype(jnp.bfloat16)
+    else:
+        qx = quantize_mx_serving(x, specs.a_elem_format, bs, sb, axis=-1,
+                                 flush=fl, bfloat=specs.bfloat)
+    w = p_qkv["weight"]                   # (3*H*D, C)
+    b = p_qkv.get("bias")
+    if specs.prequantized_weights:
+        qw = w.astype(jnp.bfloat16)
+    else:
+        qw = quantize_mx_fast(bf_fast(w, specs), specs.w_elem_format, bs,
+                              sb, axis=-1, flush=fl).astype(jnp.bfloat16)
+    C = qw.shape[1]
+    qw_qk = qw[:2 * H * D].reshape(2 * H, D, C)
+    if Dp != D:
+        qw_qk = jnp.pad(qw_qk, ((0, 0), (0, Dp - D), (0, 0)))
+    qw_qk = qw_qk.reshape(2 * H * Dp, C)
+    qw_v = qw[2 * H * D:]
+
+    # q/k: (2HDp, C) . (B, N, C) contracted over C -> (2HDp, B, N): the
+    # MXU emits this layout directly — no relayout pass exists anywhere
+    qk_t = jax.lax.dot_general(qw_qk, qx, (((1,), (2,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qk_t = bf_fast(qk_t, specs)
+    v = jnp.matmul(qx, qw_v.T, preferred_element_type=jnp.float32)
+    v = bf_fast(v, specs)
+    if b is not None:
+        b_qk = b[:2 * H * D].reshape(2 * H, D)
+        if Dp != D:
+            b_qk = jnp.pad(b_qk, ((0, 0), (0, Dp - D)))
+        qk_t = bf_fast(qk_t + bf_fast(b_qk.reshape(-1), specs
+                                      )[:, None, None], specs)
+        v = bf_fast(v + bf_fast(b[2 * H * D:], specs), specs)
+    return qk_t, v, Dp
+
+
 def dit_attention(p: Params, x: jax.Array, cfg: DiTConfig,
                   specs: Optional[MxSpecs], attn_cfg: TopKAttentionConfig,
-                  orthogonal_matrix=None, x_prequantized: bool = False
-                  ) -> jax.Array:
+                  orthogonal_matrix=None, x_prequantized: bool = False,
+                  qkv_layout: str = "fused") -> jax.Array:
     B, N, C = x.shape
     H, D = cfg.num_heads, cfg.head_dim
     mxs = specs if attn_cfg.mx_quant else None
+    if (qkv_layout == "split_t" and N % 128 == 0
+            and fused_qkv_eligible(mxs, attn_cfg, N)):
+        from ..ops.fastquant import fused_eligible
+        if fused_eligible(mxs, mxs.a_elem_format, mxs.w_elem_format):
+            from ..ops.kernels.topk_attention import fused_topk_attention_qkv_t
+            from ..attention import (_kernel_elemwise_args,
+                                     _kernel_format_args)
+            qk_t, v, Dp = _qkv_split_t(x, p["qkv"], mxs, H, D,
+                                       x_prequantized)
+            if attn_cfg.out_dtype == "bfloat16":
+                qk_t = qk_t.astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16)
+            acfg = attn_cfg
+            if not acfg.top_k:
+                acfg = acfg._replace(top_k=True, approx_flag=False, k=N)
+            out = fused_topk_attention_qkv_t(
+                qk_t, v, H, k=acfg.k, scale=D ** -0.5, n_valid=N,
+                block_size=mxs.block_size,
+                scale_bits=mxs.effective_scale_bits(),
+                approx=acfg.approx_flag, pred_mode=acfg.pred_mode,
+                key_bits=acfg.key_bits,
+                out_dtype=jnp.dtype(acfg.out_dtype),
+                contract=acfg.contract,
+                **_kernel_elemwise_args(mxs), **_kernel_format_args(mxs))
+            return linear(out, p["proj"]["weight"], p["proj"].get("bias"),
+                          mx_specs=mxs)
     qkv_specs = mxs.replace(prequantized_activations=True) \
         if (x_prequantized and mxs is not None) else mxs
     qkv = linear(x, p["qkv"]["weight"], p["qkv"].get("bias"),
@@ -299,7 +383,8 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
         return _dit_block_step(bp, attn_cfg, _sp(x), cb, cfg=cfg,
                                specs=specs, act_dtype=act_dtype,
                                orthogonal_matrix=orthogonal_matrix,
-                               lnmod_fn=_lnmod)
+                               lnmod_fn=_lnmod,
+                               qkv_layout=qcfg.qkv_layout)
 
     attn_cfgs = [qcfg.block_attn_cfg(i, timestep_idx)
                  for i in range(cfg.depth)]
@@ -330,7 +415,8 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
 
 
 def _dit_block_step(bp, attn_cfg, x, cb, *, cfg, specs, act_dtype,
-                    orthogonal_matrix=None, lnmod_fn=None):
+                    orthogonal_matrix=None, lnmod_fn=None,
+                    qkv_layout: str = "fused"):
     """One DiT block (adaLN-Zero attention + MLP) — the body shared by the
     sequential scan (dit_forward) and the GPipe pipeline (dit_forward_pp)."""
     mxs = specs if attn_cfg.mx_quant else None
@@ -347,7 +433,8 @@ def _dit_block_step(bp, attn_cfg, x, cb, *, cfg, specs, act_dtype,
     h, h_preq = lnmod(x, shift_msa, scale_msa)
     x = x + gate_msa[:, None] * dit_attention(
         bp["attn"], h, cfg, specs, attn_cfg,
-        orthogonal_matrix, x_prequantized=h_preq).astype(act_dtype)
+        orthogonal_matrix, x_prequantized=h_preq,
+        qkv_layout=qkv_layout).astype(act_dtype)
     h, h_preq = lnmod(x, shift_mlp, scale_mlp)
     fc1_specs = mxs.replace(prequantized_activations=True) \
         if (h_preq and mxs is not None) else mxs

@@ -373,27 +373,41 @@ def _topk_attn_kernel(*refs, block_size, mbits, scale_bits, k, scale,
 
 def _prep_side(x_nd, block_size, mbits, scale_bits, d_valid, approx,
                pred_mode="ex_pred", side="q", proj=None, bfloat=0,
-               flush=False, ebits=0, emax=0, max_norm=0.0):
+               flush=False, ebits=0, emax=0, max_norm=0.0,
+               pre_transposed=False):
     """(n, D) tile -> transposed quantized operand (Dp, n) bf16 and, when
     ``approx``, the exp-sign predictor operand (Dp, n) bf16.
 
     Transpose first (bf16 transposes are fine), cast to f32 after, and pad
     the head dim to the block size on SUBLANES in-VMEM — all cheaper than
     the XLA-side pad+cast HBM round-trips they replace."""
-    n, D = x_nd.shape
-    Dp = _round_up(max(d_valid, 8), block_size)
-    already_bf16 = x_nd.dtype == jnp.bfloat16
-    xt = x_nd.T.astype(jnp.float32)
-    if bfloat == 16 and not already_bf16:
-        # bfloat=16 elementwise quantization of the operand before the MX
-        # quantize (the fast-path linears' bf_fast contract).  SKIPPED
-        # when the operand arrived bf16: every bf16 value maps to itself
-        # under the half-away round, so the pass is a bit-exact identity
-        # (the serving path always feeds bf16)
-        xt = _bf16_round(xt)
-    if Dp - D:
-        xt = jnp.concatenate(
-            [xt, jnp.zeros((Dp - D, n), jnp.float32)], axis=0)
+    if pre_transposed:
+        # the operand already arrives (Dp, n) — head dim on sublanes,
+        # block-padded — from the split-emission qkv projection
+        # (models/dit.py _qkv_split_t: the MXU emits the transposed
+        # layout for free).  NOTE the XLA-side-relayout variant of this
+        # idea was measured END-TO-END SLOWER and reverted
+        # (tools/servingk_bench.py dead-end note): only a producer that
+        # emits this layout natively may use it.
+        Dp, n = x_nd.shape
+        xt = x_nd.astype(jnp.float32)
+        if bfloat == 16 and x_nd.dtype != jnp.bfloat16:
+            xt = _bf16_round(xt)
+    else:
+        n, D = x_nd.shape
+        Dp = _round_up(max(d_valid, 8), block_size)
+        already_bf16 = x_nd.dtype == jnp.bfloat16
+        xt = x_nd.T.astype(jnp.float32)
+        if bfloat == 16 and not already_bf16:
+            # bfloat=16 elementwise quantization of the operand before the
+            # MX quantize (the fast-path linears' bf_fast contract).
+            # SKIPPED when the operand arrived bf16: every bf16 value maps
+            # to itself under the half-away round, so the pass is a
+            # bit-exact identity (the serving path always feeds bf16)
+            xt = _bf16_round(xt)
+        if Dp - D:
+            xt = jnp.concatenate(
+                [xt, jnp.zeros((Dp - D, n), jnp.float32)], axis=0)
     vals, exps = _quant_axis0(xt, block_size, mbits, scale_bits, flush,
                               ebits, emax, max_norm)
     if not approx:
@@ -1064,3 +1078,88 @@ def fused_topk_attention_qkv(qkv, num_heads: int, *, k: int, scale: float,
     db = _axis_for(mesh, "data", qkv.shape[0])
     spec = P(db, None, None)
     return _shard_mapped(impl, mesh, (spec,), spec)(qkv)
+
+
+# ----------------------------------------------------------------------
+# Split-emission qkv entry (round 4, opt-in DiTQuantConfig.qkv_layout=
+# "split_t"): the qkv projection emits q/k PRE-TRANSPOSED as
+# (2*H*Dp, B, Np) straight from the MXU (models/dit.py _qkv_split_t) and
+# v in the standard (B, Np, H*D) layout — the kernel's per-cell in-VMEM
+# transposes (measured ~40% of the serving kernel in isolation) disappear
+# with NO relayout pass anywhere.  Numerics identical to the fused qkv
+# entry (same contractions, same rounding order).
+# ----------------------------------------------------------------------
+def _qkv_t_attn_kernel(qk_ref, v_ref, o_ref, *, num_heads, head_dim,
+                       head_dim_p, block_size, mbits, scale_bits, k, scale,
+                       s_valid, approx, pred_mode, key_bits, out_dtype,
+                       bfloat, flush, ebits=0, emax=0, max_norm=0.0,
+                       rows=1, relaxed=False):
+    fmt = dict(ebits=ebits, emax=emax, max_norm=max_norm)
+    H, D, Dp = num_heads, head_dim, head_dim_p
+    for r in range(rows):
+        xv = v_ref[r]
+        outs = []
+        for h in range(H):
+            q_td = qk_ref[h * Dp:(h + 1) * Dp, r, :]
+            k_td = qk_ref[(H + h) * Dp:(H + h + 1) * Dp, r, :]
+            v_nd = xv[:, h * D:(h + 1) * D]
+            qv, aq = _prep_side(q_td, block_size, mbits, scale_bits, D,
+                                approx, pred_mode, side="q", bfloat=bfloat,
+                                flush=flush, pre_transposed=True, **fmt)
+            kv, ak = _prep_side(k_td, block_size, mbits, scale_bits, D,
+                                approx, pred_mode, side="k", bfloat=bfloat,
+                                flush=flush, pre_transposed=True, **fmt)
+            v32 = v_nd.astype(jnp.float32)
+            if bfloat == 16 and v_nd.dtype != jnp.bfloat16:
+                v32 = _bf16_round(v32)
+            v_q, _ = _quant_axis0(v32, block_size, mbits, scale_bits,
+                                  flush, **fmt)
+            outs.append(_score_select_output(
+                qv, aq, kv, ak, v_q, None, block_size=block_size,
+                mbits=mbits, scale_bits=scale_bits, k=k, scale=scale,
+                s_valid=s_valid, approx=approx, pred_mode=pred_mode,
+                key_bits=key_bits, bfloat=bfloat, flush=flush,
+                relaxed=relaxed, **fmt).astype(out_dtype))
+        o_ref[r] = jnp.concatenate(outs, axis=1)
+
+
+def fused_topk_attention_qkv_t(qk_t, v, num_heads: int, *, k: int,
+                               scale: float, n_valid: int,
+                               block_size: int = 32, mbits: int = 8,
+                               scale_bits: int = 8, approx: bool = True,
+                               pred_mode: str = "ex_pred",
+                               key_bits: int = 32, out_dtype=jnp.float32,
+                               bfloat: int = 0, flush: bool = False,
+                               ebits: int = 0, emax: int = 0,
+                               max_norm: float = 0.0,
+                               contract: str = "exact"):
+    """qk_t (2*H*Dp, B, Np) pre-transposed q/k + v (B, Np, H*D) ->
+    (B, Np, H*D) attention output.  Np must be lane-aligned (128) and
+    padded QUERY/KEY columns beyond ``n_valid`` must be zero (they are:
+    the projection pads with zeros).  Single-device entry (the split
+    entry remains the TP path)."""
+    FH, B, Np = qk_t.shape
+    H = num_heads
+    Dp = FH // (2 * H)
+    D = v.shape[2] // H
+    rows = next((r for r in (16 // max(H, 1) or 1, 4, 2)
+                 if r >= 1 and r * H <= 16 and B % r == 0), 1)
+    kern = functools.partial(
+        _qkv_t_attn_kernel, num_heads=H, head_dim=D, head_dim_p=Dp,
+        block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
+        scale=scale, s_valid=n_valid, approx=approx, pred_mode=pred_mode,
+        key_bits=key_bits, out_dtype=out_dtype, bfloat=bfloat, flush=flush,
+        ebits=ebits, emax=emax, max_norm=max_norm, rows=rows,
+        relaxed=contract == "serving")
+    return pl.pallas_call(
+        kern,
+        grid=(B // rows,),
+        in_specs=[pl.BlockSpec((FH, rows, Np), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rows, Np, H * D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, Np, H * D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, H * D), out_dtype),
+        interpret=_use_interpret(),
+    )(qk_t, v)
