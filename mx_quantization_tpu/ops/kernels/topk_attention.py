@@ -1096,12 +1096,16 @@ def _qkv_t_attn_kernel(qk_ref, v_ref, o_ref, *, num_heads, head_dim,
                        rows=1, relaxed=False):
     fmt = dict(ebits=ebits, emax=emax, max_norm=max_norm)
     H, D, Dp = num_heads, head_dim, head_dim_p
+    Np = v_ref.shape[1]
     for r in range(rows):
         xv = v_ref[r]
         outs = []
         for h in range(H):
-            q_td = qk_ref[h * Dp:(h + 1) * Dp, r, :]
-            k_td = qk_ref[(H + h) * Dp:(H + h + 1) * Dp, r, :]
+            # qk arrives (2*H*Dp, rows*Np): batch rows flattened onto
+            # lanes (Mosaic block shapes can't carve a unit middle dim)
+            q_td = qk_ref[h * Dp:(h + 1) * Dp, r * Np:(r + 1) * Np]
+            k_td = qk_ref[(H + h) * Dp:(H + h + 1) * Dp,
+                          r * Np:(r + 1) * Np]
             v_nd = xv[:, h * D:(h + 1) * D]
             qv, aq = _prep_side(q_td, block_size, mbits, scale_bits, D,
                                 approx, pred_mode, side="q", bfloat=bfloat,
@@ -1144,6 +1148,9 @@ def fused_topk_attention_qkv_t(qk_t, v, num_heads: int, *, k: int,
     D = v.shape[2] // H
     rows = next((r for r in (16 // max(H, 1) or 1, 4, 2)
                  if r >= 1 and r * H <= 16 and B % r == 0), 1)
+    # flatten (B, Np) onto lanes: a free reshape (adjacent dims), and the
+    # only block shape Mosaic accepts (a unit middle dim is rejected)
+    qk_flat = qk_t.reshape(FH, B * Np)
     kern = functools.partial(
         _qkv_t_attn_kernel, num_heads=H, head_dim=D, head_dim_p=Dp,
         block_size=block_size, mbits=mbits, scale_bits=scale_bits, k=k,
@@ -1154,7 +1161,7 @@ def fused_topk_attention_qkv_t(qk_t, v, num_heads: int, *, k: int,
     return pl.pallas_call(
         kern,
         grid=(B // rows,),
-        in_specs=[pl.BlockSpec((FH, rows, Np), lambda b: (0, b, 0),
+        in_specs=[pl.BlockSpec((FH, rows * Np), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((rows, Np, H * D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -1162,4 +1169,4 @@ def fused_topk_attention_qkv_t(qk_t, v, num_heads: int, *, k: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, H * D), out_dtype),
         interpret=_use_interpret(),
-    )(qk_t, v)
+    )(qk_flat, v)
