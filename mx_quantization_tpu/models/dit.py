@@ -92,7 +92,12 @@ class DiTQuantConfig:
     # from a split projection — the MXU produces the kernel's operand
     # layout natively, deleting the per-cell in-VMEM transposes; numerics
     # value-identical modulo f32 accumulation order).  INFERENCE-ONLY (no
-    # custom VJP on the split-emission entry yet).
+    # custom VJP on the split-emission entry yet).  MEASURED SLOWER at the
+    # DiT-XL/2 point despite the kernel-side win (tools/qkv_layout_bench.py:
+    # serving 2.054 -> 1.964, exact 1.877 -> 1.769 imgs/sec/chip — the
+    # (2HDp, B*N)-output matmul and the wide flat operand DMA lose more
+    # than the transposes cost); kept as the runnable record of the
+    # experiment.  "fused" stays the default.
     qkv_layout: str = "fused"
 
     def block_attn_cfg(self, idx: int,
