@@ -274,3 +274,37 @@ def test_server_dpm_matches_sequential_solver():
             x = (sg_s / sg) * x - a_s * np.expm1(-h) * d
         prev_x0, prev_t = x0, t_idx
     np.testing.assert_allclose(got, np.asarray(x[0]), rtol=2e-4, atol=2e-5)
+
+
+def test_dpm_tables_match_sequential_coefficients():
+    """dpm_tables' position-indexed coefficients must equal the sequential
+    DPM-Solver++(2M) math exactly (countdown index j = NI-1 ... 0 maps to
+    position si = NI-1-j of the descending timestep table)."""
+    import numpy as np
+    from mx_quantization_tpu.diffusion.dpm_solver import DPMSolverMultistep
+    from mx_quantization_tpu.serving import dpm_tables
+    sv = DPMSolverMultistep()
+    NI = 7
+    tabs = {k: np.asarray(v) for k, v in dpm_tables(NI, sv).items()}
+    ts = sv.timesteps(NI)
+    for j in range(NI):
+        si = NI - 1 - j
+        t_idx = int(ts[si])
+        s_t = int(ts[si + 1]) if si + 1 < NI else 0
+        h = sv.lambda_t[s_t] - sv.lambda_t[t_idx]
+        assert tabs["t"][j] == float(t_idx)
+        np.testing.assert_allclose(tabs["inv_a"][j],
+                                   1.0 / sv.alpha_t[t_idx], rtol=1e-6)
+        np.testing.assert_allclose(tabs["sg"][j], sv.sigma_t[t_idx],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            tabs["ratio"][j], sv.sigma_t[s_t] / sv.sigma_t[t_idx],
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            tabs["coef"][j], sv.alpha_t[s_t] * np.expm1(-h), rtol=1e-6)
+        if si > 0:
+            h_prev = sv.lambda_t[t_idx] - sv.lambda_t[int(ts[si - 1])]
+            np.testing.assert_allclose(tabs["inv2r"][j],
+                                       h / (2.0 * h_prev), rtol=1e-6)
+        else:
+            assert tabs["inv2r"][j] == 0.0
