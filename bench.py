@@ -166,6 +166,10 @@ def main():
         "harness_imgs_per_sec": round(B / (t_srv * steps), 4),
         "exact_tier_imgs_per_sec": round(exact_imgs_per_sec, 4),
         "exact_tier_harness": round(B / (t_mx * steps), 4),
+        # exact-tier ratios so cross-round comparisons of the speedups
+        # stay apples-to-apples with rounds 1-3 (advisor r4)
+        "exact_tier_vs_fp32": round(t_fp / t_mx, 4),
+        "exact_tier_vs_bf16_dense": round(t_bf16 / t_mx, 4),
     }))
 
 

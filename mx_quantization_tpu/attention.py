@@ -76,8 +76,10 @@ class TopKAttentionConfig(NamedTuple):
     contract: str = "exact"
 
 
-# predictor modes the fused Pallas kernel implements in-VMEM (all the
-# exponent-family predictors; ELSA routes through the XLA path)
+# exponent-family predictor modes the fused Pallas kernel implements
+# in-VMEM; ELSA also runs in-kernel (hash projection in VMEM) but is
+# gated separately below (elsa_kernel_ok) because its eligibility
+# depends on the projection matrix/head-dim, not just the mode name
 _KERNEL_PRED_MODES = ("ex_pred", "two_step_leading_ones", "MXINT4",
                       "partial_Q", "partial_K", "true_ex", "threshold_ex")
 

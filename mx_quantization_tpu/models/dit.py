@@ -271,7 +271,13 @@ def dit_attention(p: Params, x: jax.Array, cfg: DiTConfig,
     if (qkv_layout == "split_t" and N % 128 == 0
             and fused_qkv_eligible(mxs, attn_cfg, N)):
         from ..ops.fastquant import fused_eligible
-        if fused_eligible(mxs, mxs.a_elem_format, mxs.w_elem_format):
+        from ..ops.kernels.topk_attention import _ambient_mesh
+        # fused_topk_attention_qkv_t is a single-device kernel entry with
+        # no shard_map wrapper (unlike the qkv/split entries) — under any
+        # ambient mesh (even pure-dp) fall through to the fused qkv path
+        if (_ambient_mesh() is None
+                and fused_eligible(mxs, mxs.a_elem_format,
+                                   mxs.w_elem_format)):
             from ..ops.kernels.topk_attention import fused_topk_attention_qkv_t
             from ..attention import (_kernel_elemwise_args,
                                      _kernel_format_args)

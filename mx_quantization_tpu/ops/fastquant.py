@@ -14,6 +14,7 @@ shared_exp_method="max", round="nearest", scale_bits=8, block 32.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -41,11 +42,12 @@ def ambient_mesh():
     """The mesh set via jax.set_mesh / jax.sharding.use_mesh (None when
     unset, single-device, or fully inside a shard_map manual region).
     Mosaic kernels cannot be auto-partitioned by GSPMD — under a
-    multi-device mesh the Pallas fast paths either shard_map themselves
-    (the attention kernel) or fall back to the XLA-partitionable
-    formulation (the quantize kernel).  MULTI-CHIP CONTRACT: run sharded
-    steps under ``with jax.set_mesh(mesh)`` so the kernels can see the
-    mesh at trace time."""
+    multi-device mesh the Pallas fast paths shard_map themselves (the
+    attention kernel over (data->batch, model->heads); the quantize
+    kernel over (data->batch, model->feature blocks) — see
+    _shard_mapped_quantize).  MULTI-CHIP CONTRACT: run sharded steps
+    under ``with jax.set_mesh(mesh)`` so the kernels can see the mesh at
+    trace time."""
     try:
         m = jax.sharding.get_abstract_mesh()
     except AttributeError:
@@ -201,15 +203,65 @@ def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
     axis = axis % x.ndim
     K = x.shape[axis]
     if (axis == x.ndim - 1 and K % block_size == 0
-            and jax.default_backend() == "tpu" and x.size >= (1 << 16)
-            and ambient_mesh() is None):
+            and jax.default_backend() == "tpu" and x.size >= (1 << 16)):
         from .kernels.quantize import mx_quantize_pallas
         # the bfloat=16 elementwise round fuses INTO the kernel (a separate
         # XLA pass feeding a Pallas kernel costs a full HBM round-trip)
-        return mx_quantize_pallas(x, elem_format, block_size, scale_bits,
-                                  out_dtype=out_dtype, flush=flush,
-                                  bfloat=bfloat)
+        kern = partial(mx_quantize_pallas, elem_format=elem_format,
+                       block_size=block_size, scale_bits=scale_bits,
+                       out_dtype=out_dtype, flush=flush, bfloat=bfloat)
+        mesh = ambient_mesh()
+        if mesh is None:
+            return kern(x)
+        sharded = _shard_mapped_quantize(kern, mesh, x, block_size)
+        if sharded is not None:
+            return sharded
     if bfloat == 16:
         x = bf16_round_half_away(x)
     return quantize_mx_fast(x, elem_format, block_size, scale_bits,
                             axis=axis, out_dtype=out_dtype, flush=flush)
+
+
+def _shard_mapped_quantize(kern, mesh, x, block_size):
+    """Run the Pallas quantize kernel under a multi-device mesh.
+
+    Mosaic kernels cannot be auto-partitioned by GSPMD — same constraint
+    as the attention kernel (kernels/topk_attention.py SPMD section), so
+    the kernel shard_maps itself.  MX blocks are independent per
+    ``block_size`` elements, so BOTH of these mappings are value-exact:
+
+      * leading (batch) axis over "data" when it divides, and
+      * the LAST (quantized) axis over "model" when each shard keeps
+        whole blocks.
+
+    Mapping the feature axis over "model" keeps the row-parallel TP
+    consumers (proj/fc2 — mesh.py rules) comm-free: their inputs arrive
+    feature-sharded and contract shard-locally.  Column-parallel
+    consumers (qkv/fc1) need the feature axis replicated again, but the
+    reshard moves the QUANTIZED bf16 tensor — half the bytes of
+    resharding the f32 input before a batch-only-mapped kernel.
+    Returns None when no mesh axis maps (caller falls back to the
+    XLA-partitionable formulation).
+    """
+    from jax.sharding import PartitionSpec as P
+    auto = mesh_auto_axes(mesh)
+    spec = [None] * x.ndim
+    dd = auto.get("data", 1)
+    if x.ndim > 1 and dd > 1 and x.shape[0] % dd == 0:
+        spec[0] = "data"
+    dm = auto.get("model", 1)
+    if (dm > 1 and x.shape[-1] % dm == 0
+            and (x.shape[-1] // dm) % block_size == 0
+            and x.shape[-1] // dm >= 128):  # keep lanes full per shard
+        spec[-1] = "model"
+    if all(s is None for s in spec):
+        return None
+    import jax as _jax
+    pspec = P(*spec)
+    try:
+        f = _jax.shard_map(kern, mesh=mesh, in_specs=(pspec,),
+                           out_specs=pspec, check_vma=False)
+    except TypeError:  # older kwarg name
+        f = _jax.shard_map(kern, mesh=mesh, in_specs=(pspec,),
+                           out_specs=pspec, check_rep=False)
+    return f(x)

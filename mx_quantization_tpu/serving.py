@@ -169,7 +169,6 @@ def engine_step_dpm(model_fn, tables, null_condition, cfg_scale, slots,
     CFG follows the PixArt pipeline: guidance on the FULL epsilon
     (out[:, :eps_channels]; learned-variance channels dropped).
     """
-    S = slots
     t = tables["t"][step_idx]
 
     lat2 = jnp.concatenate([lat, lat], axis=0)
@@ -189,11 +188,10 @@ def engine_step_dpm(model_fn, tables, null_condition, cfg_scale, slots,
 
     x0 = (lat - bcast(tables["sg"][step_idx]) * eps) * \
         bcast(tables["inv_a"][step_idx])
-    # 2M correction: d = (1 + 1/(2r)) x0 - 1/(2r) prev_x0; inv2r == 0 at a
-    # slot's first step (no prev_x0 yet) -> d == x0 (exact 1st-order)
+    # 2M correction: d = (1 + 1/(2r)) x0 - 1/(2r) prev_x0; dpm_tables
+    # stores inv2r == 0 at j == NI-1 (a slot's first step, no prev_x0
+    # yet) -> d == x0 (exact 1st-order), so no extra masking is needed
     inv2r = bcast(tables["inv2r"][step_idx])
-    first = (step_idx == (tables["t"].shape[0] - 1))[:, None, None, None]
-    inv2r = jnp.where(first, jnp.zeros_like(inv2r), inv2r)
     d = (1.0 + inv2r) * x0 - inv2r * prev_x0
     new_lat = bcast(tables["ratio"][step_idx]) * lat - \
         bcast(tables["coef"][step_idx]) * d

@@ -21,8 +21,18 @@ def _t2n(t) -> np.ndarray:
 
 
 def _torch_load(path: str):
+    """Load a torch checkpoint, preferring the safe tensor-only
+    deserializer.  ``weights_only=True`` refuses arbitrary pickle
+    payloads — important because ``download_model`` fetches release
+    checkpoints over the network; the canonical DiT/DeiT releases are
+    plain tensor state dicts and load fine under it.  Only fall back to
+    the permissive loader for local files carrying non-tensor metadata
+    (e.g. argparse Namespaces in training checkpoints)."""
     import torch
-    return torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 # ----------------------------------------------------------------------

@@ -110,6 +110,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--exclude-blocks", type=int, nargs="*", default=[])
     p.add_argument("--exclude-block-type", default="ex_pred")
     p.add_argument("--engine", default="fused", choices=["fused", "ref"])
+    p.add_argument("--contract", default="exact",
+                   choices=["exact", "serving"],
+                   help="serving = relaxed fused-kernel attention tier "
+                        "(tie-inclusive selection, bf16 attn probs; "
+                        "recall provably >= the exact tier — docs/"
+                        "ACCURACY.md #5)")
     p.add_argument("--anal", action="store_true",
                    help="per-block predictor-quality records on the first "
                         "batch (reference --anal)")
@@ -128,7 +134,7 @@ def main(argv=None):
         approx_flag=not args.no_approx, pred_mode=args.pred_mode,
         exclude_blocks=tuple(args.exclude_blocks),
         exclude_block_type=args.exclude_block_type,
-        sparse_impl=args.sparse_impl)
+        sparse_impl=args.sparse_impl, contract=args.contract)
 
     if args.checkpoint:
         from ..utils.checkpoint import load_deit_checkpoint

@@ -212,6 +212,12 @@ def build_argparser():
     p.add_argument("--pred-mode", default="two_step_leading_ones")
     p.add_argument("--exclude-blocks", type=int, nargs="*", default=[27])
     p.add_argument("--engine", default="fused", choices=["fused", "ref"])
+    p.add_argument("--contract", default="exact",
+                   choices=["exact", "serving"],
+                   help="serving = relaxed fused-kernel attention tier "
+                        "(tie-inclusive selection, bf16 attn probs; "
+                        "divergence-bounded by tools/contract_trajectory "
+                        "--family pixart)")
     return p
 
 
@@ -233,7 +239,8 @@ def main(argv=None):
         self_top_k=args.self_top_k, self_k=args.self_k,
         cross_top_k=args.cross_top_k, cross_k=args.cross_k,
         ex_pred=not args.no_ex_pred, pred_mode=args.pred_mode,
-        exclude_blocks=tuple(args.exclude_blocks))
+        exclude_blocks=tuple(args.exclude_blocks),
+        contract=args.contract)
 
     if args.prompt_embeds:
         z = np.load(args.prompt_embeds)

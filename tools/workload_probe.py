@@ -59,13 +59,13 @@ def timed_steps(step, args0, feed, n0=1, n1=6, reps=2):
 
 
 def deit_probe(model="deit_small_patch16_224", k=60, B=100,
-               pred_mode="ex_pred"):
+               pred_mode="ex_pred", contract="exact"):
     cfg = VIT_CONFIGS[model]
     params = init_vit(jax.random.key(0), cfg)
     q_params, specs = prequantize_weights(params, SPECS)
     qcfg = VitQuantConfig(mx_specs=specs, mx_quant=True, top_k=True, k=k,
                           approx_flag=True, pred_mode=pred_mode,
-                          contract=os.environ.get("CONTRACT", "exact"))
+                          contract=contract)
     x = jax.random.normal(jax.random.key(1), (B, 3, 224, 224))
 
     @jax.jit
@@ -80,7 +80,7 @@ def deit_probe(model="deit_small_patch16_224", k=60, B=100,
     return B / t
 
 
-def pixart_probe(B=8, steps=20):
+def pixart_probe(B=8, steps=20, contract="exact"):
     cfg = PixArtConfig()  # alpha 256: 28 layers, d=1152, heads=16, sample 32
     params = init_pixart(jax.random.key(0), cfg)
     q_params, specs = prequantize_weights(params, PIXART_SPECS)
@@ -101,8 +101,7 @@ def pixart_probe(B=8, steps=20):
                                self_top_k=True, self_k=77,
                                cross_top_k=True, cross_k=60,
                                pred_mode=pred_mode, exclude_blocks=(27,),
-                               topk_key_bits=8,
-                               contract=os.environ.get("CONTRACT", "exact"),
+                               topk_key_bits=8, contract=contract,
                                activation_dtype="bfloat16")
 
         @jax.jit
@@ -118,12 +117,19 @@ def pixart_probe(B=8, steps=20):
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser("workload throughput probe")
+    ap.add_argument("--contract", default="exact",
+                    choices=["exact", "serving"],
+                    help="attention-kernel tier (mirrors the workload "
+                         "CLIs' --contract flag)")
+    pa = ap.parse_args()
     # reference run_deit.sh:14-52 operating points
-    deit_probe(model="deit_tiny_patch16_224", k=80)
-    deit_probe()
+    deit_probe(model="deit_tiny_patch16_224", k=80, contract=pa.contract)
+    deit_probe(contract=pa.contract)
     deit_probe(model="deit_base_patch16_224", k=30,
-               pred_mode="two_step_leading_ones")
-    pixart_probe()
+               pred_mode="two_step_leading_ones", contract=pa.contract)
+    pixart_probe(contract=pa.contract)
 
 
 def dit512_probe(B=4):
