@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fastquant import fused_eligible
+from ..ops.fastquant import fused_eligible, gelu_quantize_serving
 from ..ops.kernels.quantize import ln_modulate_quantize_pallas
 from ..attention import (TopKAttentionConfig, fused_qkv_eligible,
                          fused_qkv_topk_attention, topk_attention)
@@ -87,6 +87,17 @@ class DiTQuantConfig:
     # the kernel only adds in-VMEM transpose work) — kept as an opt-in for
     # shapes where the XLA chain does materialize.
     fuse_ln_modulate: bool = False
+    # serving tier: fuse the MLP GELU into the fc2-input quantize kernel
+    # (gelu_quantize_pallas).  MEASURED END-TO-END NEGATIVE at the
+    # DiT-XL/2 serving point (tools/gelu_fuse_bench.py --step, in-run
+    # A/B: 157.4/157.0 ms fused vs 155.8 ms unfused — XLA already
+    # epilogue-fuses the GELU into the fc1 matmul output for free, so
+    # the kernel only ADDS tanh VPU time to the quantize pass; isolated,
+    # the fused kernel DOES beat a standalone gelu+quantize chain 628 vs
+    # 1009 us, but that chain never exists in the compiled step).  Kept
+    # as a tested opt-in; the fc2 quantize band's ~1.4x-over-bound gap
+    # is in-kernel f32 VPU compute, not a removable pass.
+    fuse_gelu: bool = False
     # qkv projection layout: "fused" (one matmul, the qkv-direct kernel
     # entry) or "split_t" (round-4 opt-in: emit q/k PRE-TRANSPOSED straight
     # from a split projection — the MXU produces the kernel's operand
@@ -395,7 +406,8 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
                                specs=specs, act_dtype=act_dtype,
                                orthogonal_matrix=orthogonal_matrix,
                                lnmod_fn=_lnmod,
-                               qkv_layout=qcfg.qkv_layout)
+                               qkv_layout=qcfg.qkv_layout,
+                               fuse_gelu=qcfg.fuse_gelu)
 
     attn_cfgs = [qcfg.block_attn_cfg(i, timestep_idx)
                  for i in range(cfg.depth)]
@@ -427,7 +439,7 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
 
 def _dit_block_step(bp, attn_cfg, x, cb, *, cfg, specs, act_dtype,
                     orthogonal_matrix=None, lnmod_fn=None,
-                    qkv_layout: str = "fused"):
+                    qkv_layout: str = "fused", fuse_gelu: bool = True):
     """One DiT block (adaLN-Zero attention + MLP) — the body shared by the
     sequential scan (dit_forward) and the GPipe pipeline (dit_forward_pp)."""
     mxs = specs if attn_cfg.mx_quant else None
@@ -451,9 +463,23 @@ def _dit_block_step(bp, attn_cfg, x, cb, *, cfg, specs, act_dtype,
         if (h_preq and mxs is not None) else mxs
     h = linear(h, bp["mlp"]["fc1"]["weight"], bp["mlp"]["fc1"]["bias"],
                mx_specs=fc1_specs).astype(act_dtype)
-    h = jax.nn.gelu(h, approximate=True)  # reference GELU(tanh)
-    h = linear(h, bp["mlp"]["fc2"]["weight"], bp["mlp"]["fc2"]["bias"],
-               mx_specs=mxs).astype(act_dtype)
+    # serving tier: GELU fuses into the fc2-input quantize kernel (one
+    # pass — the GELU output never exists in HBM); the exact tier keeps
+    # the unfused chain as the parity oracle (gelu_quantize_pallas doc)
+    hq = None
+    if (fuse_gelu and mxs is not None and attn_cfg.contract == "serving"
+            and not mxs.quantize_backprop
+            and fused_eligible(mxs, mxs.a_elem_format, mxs.w_elem_format)):
+        hq = gelu_quantize_serving(h, mxs, approximate=True)
+    if hq is not None:
+        h = linear(hq.astype(act_dtype), bp["mlp"]["fc2"]["weight"],
+                   bp["mlp"]["fc2"]["bias"],
+                   mx_specs=mxs.replace(prequantized_activations=True)
+                   ).astype(act_dtype)
+    else:
+        h = jax.nn.gelu(h, approximate=True)  # reference GELU(tanh)
+        h = linear(h, bp["mlp"]["fc2"]["weight"], bp["mlp"]["fc2"]["bias"],
+                   mx_specs=mxs).astype(act_dtype)
     return x + gate_mlp[:, None] * h
 
 

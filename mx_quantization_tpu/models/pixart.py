@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..attention import TopKAttentionConfig, topk_attention
 from ..ops import conv2d, linear
+from ..ops.fastquant import fused_eligible, gelu_quantize_serving
 from ..specs import MxSpecs
 from .common import Params, linear_init, patch_embed, zeros_linear
 from .dit import get_2d_sincos_pos_embed, timestep_embedding
@@ -90,6 +91,9 @@ class PixArtQuantConfig:
     topk_key_bits: int = 32
     activation_dtype: str = "float32"
     contract: str = "exact"  # "serving" = relaxed fused-kernel tier
+    # opt-in GELU->fc2-quantize fusion — measured end-to-end negative at
+    # the DiT point (see DiTQuantConfig.fuse_gelu), default off
+    fuse_gelu: bool = False
 
     def _pred_mode(self, idx):
         return (self.exclude_blocks_type if idx in self.exclude_blocks
@@ -225,7 +229,8 @@ def pixart_block_apply(bp: Params, x: jax.Array, ctx: jax.Array,
                        t6: jax.Array, cfg: PixArtConfig, specs,
                        self_cfg, cross_cfg, bias=None,
                        orthogonal_matrix=None,
-                       act_dtype=jnp.float32) -> jax.Array:
+                       act_dtype=jnp.float32,
+                       fuse_gelu: bool = False) -> jax.Array:
     """One MXBasicTransformerBlock (MX_transformer_block.py:364-485,
     ada_norm_single): adaLN-single modulation + MX self-attn + cross-attn
     (bias added to both true and predicted scores inside topk_attention)
@@ -250,9 +255,23 @@ def pixart_block_apply(bp: Params, x: jax.Array, ctx: jax.Array,
     h = _ln(x, cfg.norm_eps) * (1 + scale_mlp) + shift_mlp
     h = linear(h, bp["ff"]["fc1"]["weight"], bp["ff"]["fc1"]["bias"],
                mx_specs=mxs).astype(act_dtype)
-    h = jax.nn.gelu(h, approximate=True)  # "gelu-approximate"
-    h = linear(h, bp["ff"]["fc2"]["weight"], bp["ff"]["fc2"]["bias"],
-               mx_specs=mxs).astype(act_dtype)
+    # serving-tier opt-in: GELU fuses into the fc2-input quantize kernel
+    # (same producer fusion as models/dit.py — and the same measured
+    # end-to-end negative, so default OFF; see DiTQuantConfig.fuse_gelu)
+    hq = None
+    if (fuse_gelu and mxs is not None and self_cfg.contract == "serving"
+            and not mxs.quantize_backprop
+            and fused_eligible(mxs, mxs.a_elem_format, mxs.w_elem_format)):
+        hq = gelu_quantize_serving(h, mxs, approximate=True)
+    if hq is not None:
+        h = linear(hq.astype(act_dtype), bp["ff"]["fc2"]["weight"],
+                   bp["ff"]["fc2"]["bias"],
+                   mx_specs=mxs.replace(prequantized_activations=True)
+                   ).astype(act_dtype)
+    else:
+        h = jax.nn.gelu(h, approximate=True)  # "gelu-approximate"
+        h = linear(h, bp["ff"]["fc2"]["weight"], bp["ff"]["fc2"]["bias"],
+                   mx_specs=mxs).astype(act_dtype)
     return x + gate_mlp * h
 
 
@@ -325,7 +344,8 @@ def pixart_forward(params: Params, hidden_states: jax.Array,
         return pixart_block_apply(bp, x, ctx, t6, cfg, specs, self_cfg,
                                   cross_cfg, bias=bias,
                                   orthogonal_matrix=orthogonal_matrix,
-                                  act_dtype=act_dtype)
+                                  act_dtype=act_dtype,
+                                  fuse_gelu=qcfg.fuse_gelu)
 
     cfgs = [(qcfg.self_attn_cfg(i, timestep_idx),
              qcfg.cross_attn_cfg(i, timestep_idx))

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..attention import (TopKAttentionConfig, fused_qkv_eligible,
                          fused_qkv_topk_attention, topk_attention)
 from ..ops import conv2d, gelu, layer_norm, linear
+from ..ops.fastquant import fused_eligible, gelu_quantize_serving
 from ..specs import MxSpecs
 from .common import (Params, conv_init, linear_init, ln_init, trunc_normal)
 from .stacked import run_blocks, stack_blocks
@@ -69,6 +70,9 @@ class VitQuantConfig:
     sparse_impl: str = "dense"
     topk_key_bits: int = 32  # 16 = bf16-precision ranking (serving knob)
     contract: str = "exact"  # "serving" = relaxed fused-kernel tier
+    # opt-in GELU->fc2-quantize fusion — measured end-to-end negative at
+    # the DiT point (see DiTQuantConfig.fuse_gelu), default off
+    fuse_gelu: bool = False
 
     def block_attn_cfg(self, idx: int, depth: int) -> TopKAttentionConfig:
         if not self.mx_quant or self.mx_specs is None:
@@ -143,8 +147,22 @@ def vit_attention(p: Params, x: jax.Array, cfg: VitConfig,
     return out
 
 
-def vit_mlp(p: Params, x: jax.Array, specs: Optional[MxSpecs]) -> jax.Array:
+def vit_mlp(p: Params, x: jax.Array, specs: Optional[MxSpecs],
+            contract: str = "exact", fuse_gelu: bool = False) -> jax.Array:
     x = linear(x, p["fc1"]["weight"], p["fc1"].get("bias"), mx_specs=specs)
+    # serving-tier opt-in: erf-GELU fuses into the fc2-input quantize
+    # kernel (same producer fusion as models/dit.py — and the same
+    # measured end-to-end negative, so default OFF; see
+    # DiTQuantConfig.fuse_gelu)
+    if (fuse_gelu and specs is not None and contract == "serving"
+            and not specs.quantize_backprop
+            and fused_eligible(specs, specs.a_elem_format,
+                               specs.w_elem_format)):
+        xq = gelu_quantize_serving(x, specs, approximate=False)
+        if xq is not None:
+            return linear(xq, p["fc2"]["weight"], p["fc2"].get("bias"),
+                          mx_specs=specs.replace(
+                              prequantized_activations=True))
     x = jax.nn.gelu(x, approximate=False)  # reference keeps timm's GELU
     x = linear(x, p["fc2"]["weight"], p["fc2"].get("bias"), mx_specs=specs)
     return x
@@ -173,7 +191,8 @@ def vit_forward(params: Params, x: jax.Array, cfg: VitConfig,
                               orthogonal_matrix)
         h = layer_norm(x, bp["norm2"]["weight"], bp["norm2"]["bias"],
                        eps=cfg.eps, mx_specs=None)
-        return x + vit_mlp(bp["mlp"], h, mxs)
+        return x + vit_mlp(bp["mlp"], h, mxs, contract=attn_cfg.contract,
+                           fuse_gelu=qcfg.fuse_gelu)
 
     attn_cfgs = [qcfg.block_attn_cfg(i, cfg.depth) for i in range(cfg.depth)]
     x = run_blocks(params["blocks"], attn_cfgs, block_body, x)

@@ -222,6 +222,30 @@ def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
                             axis=axis, out_dtype=out_dtype, flush=flush)
 
 
+def gelu_quantize_serving(x: jax.Array, specs, approximate: bool = True):
+    """Fused GELU + MX quantize of the fc2 input (serving tier).
+
+    Returns the MX-grid fc2 operand in bf16 when the one-pass kernel
+    applies (last-axis block-aligned, TPU, big enough to amortize), or
+    None — the caller keeps the unfused gelu + quantize chain.  Under an
+    ambient mesh the kernel shard_maps exactly like quantize_mx_serving.
+    """
+    bs = specs.block_size
+    K = x.shape[-1]
+    if not (K % bs == 0 and jax.default_backend() == "tpu"
+            and x.size >= (1 << 16)):
+        return None
+    from .kernels.quantize import gelu_quantize_pallas
+    kern = partial(gelu_quantize_pallas, elem_format=specs.a_elem_format,
+                   block_size=bs, scale_bits=specs.effective_scale_bits(),
+                   flush=specs.mx_flush_fp32_subnorms, bfloat=specs.bfloat,
+                   approximate=approximate)
+    mesh = ambient_mesh()
+    if mesh is None:
+        return kern(x)
+    return _shard_mapped_quantize(kern, mesh, x, bs)
+
+
 def _shard_mapped_quantize(kern, mesh, x, block_size):
     """Run the Pallas quantize kernel under a multi-device mesh.
 

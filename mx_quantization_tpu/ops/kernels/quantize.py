@@ -241,3 +241,88 @@ def ln_modulate_quantize_pallas(x: jax.Array, shift: jax.Array,
     if pad:
         out = out[:, :N]
     return out
+
+
+def _gelu_f32(x, approximate: bool):
+    """GELU in f32: tanh approximation (DiT/PixArt — reference Mlp
+    act_layer GELU(approximate="tanh")) or the erf-exact form (DeiT —
+    timm's default GELU).  Mirrors jax.nn.gelu's exact operation ORDER
+    so the fused kernel is bit-identical to the unfused XLA chain in
+    f32 (a different multiply association flips near-tie quantize
+    decisions on the fp grids)."""
+    if approximate:
+        c = jnp.float32(0.7978845608028654)  # sqrt(2/pi)
+        cdf = 0.5 * (1.0 + jnp.tanh(c * (x + 0.044715 * (x ** 3))))
+        return x * cdf
+    sqrt_half = jnp.float32(0.7071067811865476)
+    return 0.5 * x * jax.lax.erfc(-x * sqrt_half)
+
+
+def _gelu_quantize_kernel(x_ref, o_ref, *, block_size, mbits, scale_bits,
+                          out_dtype, ebits, emax, max_norm, flush, bfloat,
+                          approximate):
+    g = _gelu_f32(x_ref[:].astype(jnp.float32), approximate)
+    qt = _quantize_block_values_axis0(g.T, block_size, mbits, scale_bits,
+                                      out_dtype, ebits, emax, max_norm,
+                                      flush, bfloat)
+    o_ref[:] = qt.T
+
+
+@functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
+                                             "scale_bits", "out_dtype",
+                                             "tile_rows", "flush", "bfloat",
+                                             "approximate"))
+def gelu_quantize_pallas(x: jax.Array, elem_format: str = "int8",
+                         block_size: int = 32, scale_bits: int = 8,
+                         out_dtype=jnp.bfloat16, tile_rows: int = 256,
+                         flush: bool = False, bfloat: int = 0,
+                         approximate: bool = True):
+    """quantize_mx(GELU(x)) along the last axis — producer-side fusion of
+    the MLP activation into the fc2 input quantize (round-4 verdict ask
+    #2).  The reference quantizes around each op separately
+    (microxscaling/mx/linear.py:62-88 quantize-around-matmul); here the
+    GELU output never exists in HBM — the kernel reads the fc1 output
+    once and writes the MX-grid fc2 operand, deleting the standalone
+    activation-quantize pass (the largest single site of the round-4
+    activation-quantize band, ~13.6 ms of the 155.7 ms serving step).
+
+    Numerics: GELU is computed in f32 on the (bf16-exact) input values,
+    then ``bfloat=16`` rounds the result to the bf16 grid before MX
+    quantization — vs the XLA chain's bf16-arithmetic tanh this flips
+    near-tie quantize decisions only, the same relaxation class as the
+    bf16 activation storage (docs/ACCURACY.md); serving-tier wiring
+    only, the exact tier keeps the unfused chain as the parity oracle.
+    """
+    ebits, mbits, emax, max_norm, _ = format_params(elem_format)
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    assert K % block_size == 0, (K, block_size)
+    x2 = x.reshape(-1, K)
+    if x2.dtype not in (jnp.float32, jnp.bfloat16):
+        x2 = x2.astype(jnp.float32)
+    M = x2.shape[0]
+
+    while tile_rows > 64 and tile_rows * K * 4 * 3 > (12 << 20):
+        tile_rows //= 2
+    tm = min(tile_rows, M)
+    pad = (-M) % tm
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_gelu_quantize_kernel, block_size=block_size,
+                          mbits=mbits, scale_bits=scale_bits,
+                          out_dtype=out_dtype, ebits=ebits, emax=emax,
+                          max_norm=max_norm, flush=flush, bfloat=bfloat,
+                          approximate=approximate),
+        grid=((M + pad) // tm,),
+        in_specs=[pl.BlockSpec((tm, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tm, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((M + pad), K), out_dtype),
+        interpret=_use_interpret(),
+    )(x2)
+    if pad:
+        out = out[:M]
+    return out.reshape(orig_shape)
