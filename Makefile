@@ -26,6 +26,15 @@ accuracy-pixart:
 	  $(if $(REF),--ref $(REF)) $(if $(INCEPTION),--inception $(INCEPTION)) \
 	  $(if $(CLIP),--clip $(CLIP))
 
+# End-task metrics at toy scale, zero external assets (round 5):
+# tier-vs-tier FID (DiT-S/2) and top-1 (DeiT-tiny).  Run on the TPU.
+endtask-dit:
+	$(PY) tools/train_debug_dit.py
+	$(PY) tools/endtask_metrics.py dit
+
+endtask-deit:
+	$(PY) tools/endtask_metrics.py deit
+
 test-fast:
 	$(PY) -m pytest tests/ -m "not slow" -q
 
@@ -34,4 +43,5 @@ test:
 
 bench:
 	$(PY) bench.py
-.PHONY: accuracy-deit accuracy-dit accuracy-pixart test test-fast bench
+.PHONY: accuracy-deit accuracy-dit accuracy-pixart test test-fast bench \
+	endtask-dit endtask-deit

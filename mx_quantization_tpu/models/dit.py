@@ -386,10 +386,15 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
     # kernel); the consumer skips its own quantization via
     # prequantized_activations.  Serving fast path only.
     from ..ops.fastquant import ambient_mesh
+    # bfloat==0: bit-exact vs the unfused chain; bfloat==16 rounds the
+    # modulated result in-kernel — the LN statistics accumulate in f32
+    # (vs the bf16-arithmetic XLA chain), a serving-tier relaxation class
     fuse_lnmod = (qcfg.fuse_ln_modulate and specs is not None
                   and fused_eligible(specs, specs.a_elem_format,
                                      specs.w_elem_format)
-                  and specs.bfloat == 0
+                  and (specs.bfloat == 0
+                       or (specs.bfloat == 16
+                           and qcfg.contract == "serving"))
                   and hs % specs.block_size == 0
                   and ambient_mesh() is None)  # Mosaic can't auto-partition
 
@@ -398,7 +403,8 @@ def dit_forward(params: Params, x: jax.Array, t: jax.Array, y: jax.Array,
             return modulate(_ln(x), shift, scale), False
         q = ln_modulate_quantize_pallas(
             x, shift, scale, specs.a_elem_format, specs.block_size,
-            specs.effective_scale_bits())
+            specs.effective_scale_bits(),
+            flush=specs.mx_flush_fp32_subnorms, bfloat=specs.bfloat)
         return q, True
 
     def block_body(bp, attn_cfg, x):

@@ -166,14 +166,17 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
 
 
 def _ln_mod_quant_kernel(x_ref, sh_ref, sc_ref, o_ref, *, block_size, mbits,
-                         scale_bits, out_dtype, eps, ebits, emax, max_norm):
+                         scale_bits, out_dtype, eps, ebits, emax, max_norm,
+                         flush, bfloat):
     """LayerNorm (no affine) + adaLN modulate + MX quantize, one pass.
 
     x (1, tm, C) -> transpose puts features on SUBLANES, so the LN mean/var
     are cheap cross-sublane reductions and the MX blocks (along C) need no
     further layout work; shift/scale arrive as (1, C, 1) per-batch columns.
     Replaces the XLA LN+modulate chain (2 HBM passes) AND the separate
-    activation-quantize kernel (1 pass) with a single read+write."""
+    activation-quantize kernel (1 pass) with a single read+write.
+    ``bfloat=16`` rounds the modulated result to the bf16 grid before MX
+    quantization (the DiT operating point's elementwise quantize)."""
     xt = x_ref[0].T.astype(jnp.float32)          # (C, tm)
     C = xt.shape[0]
     mu = jnp.sum(xt, axis=0, keepdims=True) * (1.0 / C)
@@ -183,18 +186,21 @@ def _ln_mod_quant_kernel(x_ref, sh_ref, sc_ref, o_ref, *, block_size, mbits,
     y = xn * (1.0 + sc_ref[0].astype(jnp.float32)) \
         + sh_ref[0].astype(jnp.float32)          # (C,1) broadcast over lanes
     qt = _quantize_block_values_axis0(y, block_size, mbits, scale_bits,
-                                      out_dtype, ebits, emax, max_norm)
+                                      out_dtype, ebits, emax, max_norm,
+                                      flush, bfloat)
     o_ref[0] = qt.T
 
 
 @functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
                                              "scale_bits", "eps",
-                                             "out_dtype", "tile_rows"))
+                                             "out_dtype", "tile_rows",
+                                             "flush", "bfloat"))
 def ln_modulate_quantize_pallas(x: jax.Array, shift: jax.Array,
                                 scale: jax.Array, elem_format: str = "int8",
                                 block_size: int = 32, scale_bits: int = 8,
                                 eps: float = 1e-6, out_dtype=jnp.bfloat16,
-                                tile_rows: int = 256):
+                                tile_rows: int = 256, flush: bool = False,
+                                bfloat: int = 0):
     """quantize_mx(modulate(LN(x), shift, scale)) along the last axis.
 
     x: (B, N, C); shift/scale: (B, C) adaLN vectors (DiT models.py:293-296 —
@@ -223,7 +229,8 @@ def ln_modulate_quantize_pallas(x: jax.Array, shift: jax.Array,
         functools.partial(_ln_mod_quant_kernel, block_size=block_size,
                           mbits=mbits, scale_bits=scale_bits,
                           out_dtype=out_dtype, eps=eps, ebits=ebits,
-                          emax=emax, max_norm=max_norm),
+                          emax=emax, max_norm=max_norm, flush=flush,
+                          bfloat=bfloat),
         grid=(B, Npad // tm),
         in_specs=[
             pl.BlockSpec((1, tm, C), lambda b, i: (b, i, 0),

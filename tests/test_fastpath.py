@@ -219,6 +219,16 @@ def test_ln_modulate_quantize_kernel():
     np.testing.assert_array_equal(np.asarray(out, np.float32),
                                   np.asarray(ref, np.float32))
 
+    # bfloat=16 (round 5: the DiT operating point's elementwise quantize
+    # rides inside the kernel — serving-tier lnmod fusion eligibility)
+    from mx_quantization_tpu.ops.fastquant import bf16_round_half_away
+    ref16 = quantize_mx_fast(
+        bf16_round_half_away(ln * (1 + sc[:, None]) + sh[:, None]),
+        "int8", 32, 8, axis=-1)
+    out16 = ln_modulate_quantize_pallas(x, sh, sc, bfloat=16)
+    np.testing.assert_array_equal(np.asarray(out16, np.float32),
+                                  np.asarray(ref16, np.float32))
+
 
 def test_prequantized_activations_skips_requantize():
     """With prequantized_activations the fast-path linear consumes the

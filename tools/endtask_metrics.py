@@ -202,35 +202,57 @@ def run_deit(train_steps: int, eval_n: int, batch: int = 64,
     import dataclasses
 
     import jax.numpy as jnp
+    import optax
     from mx_quantization_tpu.models.vit import (VIT_CONFIGS, VitQuantConfig,
-                                                vit_forward)
+                                                init_vit, vit_forward)
     from mx_quantization_tpu.utils.prequantize import prequantize_weights
     from mx_quantization_tpu.workloads.deit import (accuracy_counts,
                                                     default_mx_specs)
-    from mx_quantization_tpu.workloads.deit_train import train
+    from mx_quantization_tpu.workloads.deit_train import label_smoothing_ce
 
     CLASSES = 16
     cfg = dataclasses.replace(VIT_CONFIGS["deit_tiny_patch16_224"],
                               num_classes=CLASSES)
-    patterns = deit_patterns(CLASSES)
+    patterns_dev = jnp.asarray(deit_patterns(CLASSES))
 
-    def batches(rng, n, bs):
-        for _ in range(n):
-            y = rng.randint(0, CLASSES, bs)
-            x = patterns[y] + noise * rng.randn(
-                bs, 3, 224, 224).astype(np.float32)
-            yield x.astype(np.float32), y
+    def make_batch(key, bs):
+        """Synthetic batch ON DEVICE (host numpy generation is ~1s/step
+        on this 2-core box and starved the first training attempt)."""
+        ky, kn = jax.random.split(key)
+        y = jax.random.randint(ky, (bs,), 0, CLASSES)
+        x = patterns_dev[y] + noise * jax.random.normal(
+            kn, (bs, 3, 224, 224))
+        return x, y
 
     if os.path.exists(TRAINED_DEIT) and not retrain:
         params = np.load(TRAINED_DEIT, allow_pickle=True).item()
         print(f"loaded {TRAINED_DEIT}")
     else:
-        print(f"training DeiT-tiny dense fp32, {train_steps} steps...",
-              flush=True)
-        rng = np.random.RandomState(0)
-        params, _ = train(cfg, VitQuantConfig(mx_quant=False),
-                          batches(rng, train_steps, batch),
-                          steps=train_steps, lr=5e-4, log_every=50)
+        print(f"training DeiT-tiny dense fp32, {train_steps} steps "
+              f"(on-device data)...", flush=True)
+        qtrain = VitQuantConfig(mx_quant=False)
+        params = init_vit(jax.random.key(0), cfg)
+        sched = optax.cosine_decay_schedule(5e-4, train_steps)
+        opt = optax.adamw(sched, weight_decay=0.05)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state, key):
+            x, y = make_batch(key, batch)
+
+            def loss_fn(p):
+                logits = vit_forward(p, x, cfg, qtrain)
+                return label_smoothing_ce(logits, y)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.key(1)
+        for step in range(train_steps):
+            key, sk = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, sk)
+            if (step + 1) % 100 == 0:
+                print(f"step {step+1}: loss {float(loss):.4f}", flush=True)
         params = jax.tree.map(np.asarray, params)
         np.save(TRAINED_DEIT, params, allow_pickle=True)
         print("wrote", TRAINED_DEIT)
@@ -251,9 +273,10 @@ def run_deit(train_steps: int, eval_n: int, batch: int = 64,
                               k=80, approx_flag=True, pred_mode="ex_pred",
                               topk_key_bits=kb, contract=contract)
 
-    # held-out eval set, fixed across tiers
-    eval_rng = np.random.RandomState(12345)
-    eval_set = list(batches(eval_rng, (eval_n + 99) // 100, 100))
+    # held-out eval set: fixed keys, generated on device per batch so
+    # every tier scores the IDENTICAL images
+    n_eval_batches = (eval_n + 99) // 100
+    eval_keys = [jax.random.key(990000 + i) for i in range(n_eval_batches)]
 
     results = {}
     for tier in ("dense_fp32", "mx_dense", "exact32", "exact8", "serving"):
@@ -261,15 +284,16 @@ def run_deit(train_steps: int, eval_n: int, batch: int = 64,
         p = params if tier == "dense_fp32" else q_params
 
         @jax.jit
-        def step(p, c1, x, y):
+        def step(p, c1, key):
+            x, y = make_batch(key, 100)
             logits = vit_forward(p, x, cfg, qc)
             return c1 + accuracy_counts(logits, y)[0]
 
         c1 = jnp.int32(0)
         n = 0
-        for x, y in eval_set:
-            c1 = step(p, c1, jnp.asarray(x), jnp.asarray(y))
-            n += len(y)
+        for k in eval_keys:
+            c1 = step(p, c1, k)
+            n += 100
         results[tier] = int(c1) / n
         print(f"  {tier:10s}: top-1 {results[tier]:.4f}  (n={n})",
               flush=True)
