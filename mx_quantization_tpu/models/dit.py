@@ -85,7 +85,10 @@ class DiTQuantConfig:
     # linears.  MEASURED SLOWER at the DiT-XL/2 bench point (1.827 -> 1.784:
     # XLA already fuses LN/modulate into the residual elementwise passes, so
     # the kernel only adds in-VMEM transpose work) — kept as an opt-in for
-    # shapes where the XLA chain does materialize.
+    # shapes where the XLA chain does materialize.  RE-MEASURED round 5 at
+    # the serving tier with the bfloat=16 in-kernel round
+    # (tools/lnmod_bench.py, in-run A/B): 159.6 fused vs 155.6/155.7 ms
+    # unfused — the round-1 conclusion holds at the serving tier too.
     fuse_ln_modulate: bool = False
     # serving tier: fuse the MLP GELU into the fc2-input quantize kernel
     # (gelu_quantize_pallas).  MEASURED END-TO-END NEGATIVE at the

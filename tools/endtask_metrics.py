@@ -261,7 +261,7 @@ def run_deit(train_steps: int, eval_n: int, batch: int = 64,
     specs = default_mx_specs("fused")
     q_params, qspecs = prequantize_weights(params, specs)
 
-    def qcfg(tier):
+    def qcfg(tier, k=80):
         if tier == "dense_fp32":
             return VitQuantConfig(mx_quant=False)
         if tier == "mx_dense":
@@ -270,7 +270,7 @@ def run_deit(train_steps: int, eval_n: int, batch: int = 64,
         kb = 32 if tier == "exact32" else 8
         contract = "serving" if tier == "serving" else "exact"
         return VitQuantConfig(mx_specs=qspecs, mx_quant=True, top_k=True,
-                              k=80, approx_flag=True, pred_mode="ex_pred",
+                              k=k, approx_flag=True, pred_mode="ex_pred",
                               topk_key_bits=kb, contract=contract)
 
     # held-out eval set: fixed keys, generated on device per batch so
@@ -278,9 +278,14 @@ def run_deit(train_steps: int, eval_n: int, batch: int = 64,
     n_eval_batches = (eval_n + 99) // 100
     eval_keys = [jax.random.key(990000 + i) for i in range(n_eval_batches)]
 
+    points = [("dense_fp32", 0), ("mx_dense", 0), ("exact32", 80),
+              ("exact8", 80), ("serving", 80),
+              # k-sweep: the toy pruning penalty vs k (N=197 keys)
+              ("exact32", 120), ("serving", 120),
+              ("exact32", 160), ("serving", 160)]
     results = {}
-    for tier in ("dense_fp32", "mx_dense", "exact32", "exact8", "serving"):
-        qc = qcfg(tier)
+    for tier, kk in points:
+        qc = qcfg(tier, kk or 80)
         p = params if tier == "dense_fp32" else q_params
 
         @jax.jit
@@ -294,15 +299,16 @@ def run_deit(train_steps: int, eval_n: int, batch: int = 64,
         for k in eval_keys:
             c1 = step(p, c1, k)
             n += 100
-        results[tier] = int(c1) / n
-        print(f"  {tier:10s}: top-1 {results[tier]:.4f}  (n={n})",
+        name = tier if kk in (0, 80) else f"{tier}_k{kk}"
+        results[name] = int(c1) / n
+        print(f"  {name:14s}: top-1 {results[name]:.4f}  (n={n})",
               flush=True)
 
     print(f"\nEND-TASK (DeiT-tiny toy, N=197 tokens, k=80 ex_pred, "
           f"noise={noise}):")
     base = results["dense_fp32"]
     for tier, acc in results.items():
-        print(f"  {tier:10s}: top-1 {acc:.4f}  (delta vs dense "
+        print(f"  {tier:14s}: top-1 {acc:.4f}  (delta vs dense "
               f"{acc - base:+.4f})")
     np.savez(OUT_DEIT, **results)
     print("wrote", OUT_DEIT)

@@ -209,6 +209,17 @@ def phase_analyze():
         return orig(q, k, v, scale, mxs, attn_cfg, bias=bias, **kw)
 
     pixart_mod.topk_attention = cap_attn
+
+    # run blocks as a python loop so the capture sees concrete arrays
+    # (the stacked scan/switch would hand the callback tracers)
+    from mx_quantization_tpu.models.stacked import unstack_block
+
+    def run_blocks_loop(stacked, cfgs, body, x):
+        for i, c in enumerate(cfgs):
+            x = body(unstack_block(stacked, i), c, x)
+        return x
+
+    pixart_mod.run_blocks = run_blocks_loop
     qc = _qcfg(specs, cfg, 32, "exact")
 
     rows = {"self": [], "cross": []}
