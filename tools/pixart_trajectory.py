@@ -97,7 +97,8 @@ def _qcfg(specs, cfg, kb, contract):
     from mx_quantization_tpu.models import PixArtQuantConfig
     return PixArtQuantConfig(
         mx_specs=specs, mx_quant=True, self_top_k=True, self_k=SELF_K,
-        cross_top_k=True, cross_k=CROSS_K, pred_mode=PRED_MODE,
+        cross_top_k=True, cross_k=CROSS_K, ex_pred=True,
+        pred_mode=PRED_MODE,
         exclude_blocks=(cfg.num_layers - 1,), topk_key_bits=kb,
         contract=contract, activation_dtype="bfloat16")
 
@@ -274,6 +275,10 @@ def phase_analyze():
               flush=True)
 
     for kind in ("self", "cross"):
+        if not rows[kind]:
+            print(f"\nPIXART {kind}-attention: no approx top-k calls "
+                  "captured (check ex_pred/approx_flag)")
+            continue
         agg = np.array([(r[1], r[2], r[3], r[4]) for r in rows[kind]])
         kk = SELF_K if kind == "self" else CROSS_K
         nk = 256 if kind == "self" else 120
