@@ -115,6 +115,12 @@ def run_dit(samples: int, steps: int):
     def qcfg(tier):
         if tier == "dense":
             return DiTQuantConfig(mx_quant=False)
+        if tier == "mx_dense":
+            # MXINT8 quantization, NO top-k: isolates the quantization-
+            # only end-task cost (the DeiT table's mx_dense row)
+            return DiTQuantConfig(mx_specs=qspecs, mx_quant=True,
+                                  top_k=False,
+                                  activation_dtype="bfloat16")
         kb = 32 if tier == "exact32" else 8
         contract = "serving" if tier == "serving" else "exact"
         return DiTQuantConfig(mx_specs=qspecs, mx_quant=True, top_k=True,
@@ -166,7 +172,7 @@ def run_dit(samples: int, steps: int):
         return lat.reshape(len(lat), -1) @ proj
 
     f_true = feats(x_true)
-    tiers = ["dense", "exact32", "exact8", "serving"]
+    tiers = ["dense", "mx_dense", "exact32", "exact8", "serving"]
     lat = {}
     for t in tiers:
         print(f"sampling tier {t} ({samples} latents, {steps} steps)...",
