@@ -216,7 +216,9 @@ def quantize_mx_serving(x: jax.Array, elem_format: str, block_size: int,
         sharded = _shard_mapped_quantize(kern, mesh, x, block_size)
         if sharded is not None:
             return sharded
-    if bfloat == 16:
+    if bfloat == 16 and x.dtype != jnp.bfloat16:
+        # bf16 inputs already sit on the bf16 grid — the round is an exact
+        # identity there (same dtype gate as the Pallas kernel's)
         x = bf16_round_half_away(x)
     return quantize_mx_fast(x, elem_format, block_size, scale_bits,
                             axis=axis, out_dtype=out_dtype, flush=flush)

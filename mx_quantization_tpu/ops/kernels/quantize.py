@@ -135,6 +135,13 @@ def mx_quantize_pallas(x: jax.Array, elem_format: str = "int8",
     x2 = x.reshape(-1, K)
     if x2.dtype not in (jnp.float32, jnp.bfloat16):
         x2 = x2.astype(jnp.float32)
+    if bfloat == 16 and x2.dtype == jnp.bfloat16:
+        # the input already sits on the bf16 grid, so the in-kernel
+        # half-away round is an exact identity (bf16->f32 keeps the low 16
+        # magnitude bits zero; +0x8000 & ~0xFFFF restores them) — skip its
+        # ~7 VPU int-ops/element.  Bit-exact; the serving path's bf16
+        # activation storage makes this the common case.
+        bfloat = 0
     M = x2.shape[0]
 
     # keep the working set (in tile + f32 intermediates + out tile, double
